@@ -1,0 +1,126 @@
+"""Benchmark: global-SSIM throughput on 1080p grayscale pairs, real TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's best full-machine number, 232.4 Mpix/s
+(FMA + OpenMP, no map — reference README.md:48, mirrored in BASELINE.md).
+
+Methodology mirrors the reference's perf harness (Mpix/s over repeated
+runs, tests/rmgr-ssim-tests.cpp:188-222), adapted to an RPC-attached TPU:
+the iteration loop runs *on device* inside one jit (a lax.fori_loop whose
+body perturbs the input each step to defeat any caching and feeds the
+fused SSIM pipeline), so host<->device round-trip latency (~30 ms on this
+tunnel) is paid once, not per iteration. Throughput is computed from the
+delta between a long and a short loop, cancelling the fixed overhead.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _make_runner(impl: str, with_map: bool, a_dev, b_dev):
+    import jax
+    import jax.numpy as jnp
+
+    from ssim_tpu.dispatch import backend_platform
+
+    interpret = backend_platform() != "tpu"
+
+    if impl == "pallas":
+        from ssim_tpu.ops.ssim_pallas import ssim_parts_pallas
+
+        def parts(a, b):
+            return ssim_parts_pallas(a, b, with_map=with_map, interpret=interpret)
+    else:
+        from ssim_tpu.ops.ssim_xla import ssim_parts_xla
+
+        def parts(a, b):
+            return ssim_parts_xla(a, b, with_map=with_map)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def run(a, b, iters: int):
+        def body(i, acc):
+            # Perturb input per iteration (cheap u8 add) so every step is
+            # distinct work; consume the outputs so nothing is elided.
+            aa = a + (i % 2).astype(jnp.uint8)
+            partials, m = parts(aa, b)
+            acc = acc + jnp.sum(partials)
+            if m is not None:
+                acc = acc + m[0, 0, 0]
+            return acc
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    return run
+
+
+def bench(impl: str = "pallas", with_map: bool = False, batch: int = 8,
+          h: int = 1080, w: int = 1920, iters: int = 32) -> float:
+    import jax
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, (batch, h, w), dtype=np.uint8)
+    noise = rng.normal(0, 8, a.shape).astype(np.int16)
+    b = np.clip(a.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+
+    a_dev = jax.device_put(a)
+    b_dev = jax.device_put(b)
+    run = _make_runner(impl, with_map, a_dev, b_dev)
+
+    # Warmup/compile both loop lengths.
+    short, long_ = max(1, iters // 8), iters
+    for it in (short, long_):
+        v = float(run(a_dev, b_dev, it))
+        assert np.isfinite(v)
+
+    def timed(it):
+        t0 = time.perf_counter()
+        v = float(run(a_dev, b_dev, it))  # scalar readback forces completion
+        t1 = time.perf_counter()
+        assert np.isfinite(v)
+        return t1 - t0
+
+    t_short = min(timed(short) for _ in range(3))
+    t_long = min(timed(long_) for _ in range(3))
+    dt = max(t_long - t_short, 1e-9)
+    pixels = batch * h * w * (long_ - short)
+    return pixels / dt / 1e6  # Mpix/s
+
+
+def main():
+    results = {}
+    for name, kwargs in [
+        ("pallas_nomap", dict(impl="pallas", with_map=False)),
+        ("pallas_map", dict(impl="pallas", with_map=True)),
+        ("xla_nomap", dict(impl="xla", with_map=False)),
+        ("xla_map", dict(impl="xla", with_map=True)),
+    ]:
+        try:
+            results[name] = bench(**kwargs)
+        except Exception as e:  # pragma: no cover
+            print(f"bench {name} failed: {type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
+            results[name] = 0.0
+    print(
+        f"diagnostics: {json.dumps({k: round(v, 1) for k, v in results.items()})} Mpix/s",
+        file=sys.stderr,
+    )
+    best = max(results["pallas_nomap"], results["xla_nomap"])
+    baseline = 232.4  # reference FMA+OpenMP no-map Mpix/s (README.md:48)
+    print(
+        json.dumps(
+            {
+                "metric": "ssim_throughput_1080p",
+                "value": round(best, 1),
+                "unit": "Mpix/s",
+                "vs_baseline": round(best / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

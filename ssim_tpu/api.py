@@ -1,0 +1,113 @@
+"""Public API.
+
+Mirrors the reference's public surface (include/rmgr/ssim.h:428-732):
+
+- `compute_ssim` — the eager entry point, parity with
+  `rmgr::ssim::compute_ssim` (include/rmgr/ssim.h:686, src/ssim.cpp:933):
+  takes images (arrays or ImageView/Params), returns the global SSIM as a
+  Python float (f64-finalized), optionally with the per-pixel map.
+- `ssim` / `ssim_and_map` — jittable on-device versions for use inside
+  larger JAX programs (new TPU-native surface; the global score is f32 on
+  device, which is documented as weaker than `compute_ssim`'s f64 finalize).
+- `ssim_loss` — differentiable 1 - mean(SSIM) perceptual loss (new
+  TPU-native surface; the reference has no autodiff story).
+"""
+
+import functools
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import engine
+from .dispatch import Implementation, select_impl
+from .params import ImageView, Params
+
+
+def _unwrap(img) -> np.ndarray:
+    if isinstance(img, ImageView):
+        return img.data
+    return np.asarray(img)
+
+
+def compute_ssim(
+    a,
+    b=None,
+    *,
+    with_map: bool = False,
+    impl="auto",
+    data_range: float = 255.0,
+):
+    """Global SSIM of two single-channel images (or batches of them).
+
+    Accepts either (a, b) as arrays/ImageViews, or a single `Params`.
+    Returns `float` (or (B,) float64 array), or `(score, map)` when
+    `with_map`. Parity: rmgr::ssim::compute_ssim (src/ssim.cpp:933-1106).
+    """
+    if isinstance(a, Params):
+        p = a
+        if b is not None:
+            raise TypeError("pass either Params or two images, not both")
+        a, b = p.img_a.data, p.img_b.data
+        with_map = p.with_map
+        impl = p.implementation
+        data_range = p.data_range
+    score, ssim_map = engine.compute(
+        _unwrap(a), _unwrap(b), with_map=with_map, impl=impl, data_range=data_range
+    )
+    score = float(score) if np.ndim(score) == 0 else score
+    if with_map:
+        return score, ssim_map
+    return score
+
+
+def compute_ssim_map(a, b, *, impl="auto", data_range: float = 255.0):
+    """Convenience: return (global_ssim, per-pixel map)."""
+    return compute_ssim(a, b, with_map=True, impl=impl, data_range=data_range)
+
+
+@functools.partial(jax.jit, static_argnames=("data_range", "impl"))
+def ssim(a, b, *, data_range: float = 255.0, impl: str = "xla") -> jnp.ndarray:
+    """Jittable global SSIM, f32 on device. a, b: (..., H, W).
+
+    Returns scalar for 2-D inputs, (B,) for batched. Differentiable when
+    impl='xla'.
+    """
+    impl = select_impl(impl)
+    if impl == Implementation.PALLAS:
+        from .ops.ssim_pallas import ssim_parts_pallas as parts
+    else:
+        from .ops.ssim_xla import ssim_parts_xla as parts
+    row_sums, _ = parts(a, b, with_map=False, data_range=data_range)
+    n = a.shape[-1] * a.shape[-2]
+    return jnp.sum(row_sums, axis=-1) / n
+
+
+@functools.partial(jax.jit, static_argnames=("data_range", "impl"))
+def ssim_and_map(
+    a, b, *, data_range: float = 255.0, impl: str = "xla"
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Jittable (global_ssim, per-pixel map)."""
+    impl = select_impl(impl)
+    if impl == Implementation.PALLAS:
+        from .ops.ssim_pallas import ssim_parts_pallas as parts
+    else:
+        from .ops.ssim_xla import ssim_parts_xla as parts
+    row_sums, ssim_map = parts(a, b, with_map=True, data_range=data_range)
+    n = a.shape[-1] * a.shape[-2]
+    return jnp.sum(row_sums, axis=-1) / n, ssim_map
+
+
+@functools.partial(jax.jit, static_argnames=("data_range",))
+def ssim_loss(a, b, *, data_range: float = 1.0) -> jnp.ndarray:
+    """Differentiable perceptual loss: 1 - mean SSIM over the batch.
+
+    Defaults to data_range=1.0 (float images in [0, 1]), the common
+    training convention; pass 255.0 for u8-range inputs.
+    """
+    from .ops.ssim_xla import ssim_parts_xla
+
+    row_sums, _ = ssim_parts_xla(a, b, with_map=False, data_range=data_range)
+    n = a.shape[-1] * a.shape[-2]
+    return 1.0 - jnp.mean(jnp.sum(row_sums, axis=-1) / n)

@@ -1,0 +1,121 @@
+"""Command-line tool, parity with the reference CLI (src/ssim-cli.cpp).
+
+Usage: python -m ssim_tpu.cli [options] img1 img2 [map]
+  -#            compute SSIM only for channel # (0..3)  (src/ssim-cli.cpp:237-245)
+  -y            compute SSIM on BT.601 luminance        (src/ssim-cli.cpp:246-247)
+  --impl=NAME   implementation override (extension; default auto)
+
+Output format matches the reference (src/ssim-cli.cpp:143,197,205-210):
+single-channel prints "% 7.4f", per-channel mode prints one line per
+channel plus the average. Map export format is chosen by extension:
+.bmp/.png/.tga (u8-quantized) or .pfm (raw float), src/ssim-cli.cpp:298-377.
+"""
+
+import sys
+
+import numpy as np
+
+
+def print_help(file=sys.stdout):
+    file.write(
+        "Usage: ssim-tpu [options] img1 img2 [map]\n"
+        "Options:\n"
+        "  -#  Compute SSIM only for channel #\n"
+        "  -y  Compute SSIM on luminance\n"
+        "      For images with <= 2 channels, only channel 0's SSIM will be computed\n"
+        "      For images with >= 3 channels, first three channels are converted from RGB to Y\n"
+        "  --impl=NAME  Force implementation (auto/xla/pallas/reference/host)\n\n"
+    )
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    if len(argv) == 1 and argv[0] in ("-h", "--help"):
+        print_help(sys.stdout)
+        return 0
+
+    only_channel = -1
+    luminance = False
+    impl = "auto"
+
+    while argv and argv[0].startswith("-"):
+        opt = argv.pop(0)
+        if opt in ("-0", "-1", "-2", "-3"):
+            only_channel = int(opt[1])
+        elif opt == "-y":
+            luminance = True
+        elif opt.startswith("--impl="):
+            impl = opt.split("=", 1)[1]
+        else:
+            sys.stderr.write(f"Unknown option: {opt}\n")
+            return 1
+
+    if len(argv) < 2 or len(argv) > 3:
+        print_help(sys.stderr)
+        return 1
+
+    img1_path, img2_path = argv[0], argv[1]
+    map_path = argv[2] if len(argv) == 3 else None
+
+    from .multichannel import compute_ssim_channels
+    from .utils import load_image, save_map
+
+    try:
+        img1 = load_image(img1_path)
+        img2 = load_image(img2_path)
+    except Exception as e:
+        sys.stderr.write(f"{e}\n")
+        return 1
+
+    if img1.shape[:2] != img2.shape[:2]:
+        sys.stderr.write(
+            "Images do not have the same dimensions: "
+            f"{img1.shape[1]}x{img1.shape[0]} vs {img2.shape[1]}x{img2.shape[0]}\n"
+        )
+        return 1
+    c1 = 1 if img1.ndim == 2 else img1.shape[2]
+    c2 = 1 if img2.ndim == 2 else img2.shape[2]
+    if c1 != c2:
+        sys.stderr.write(f"Images do not have the same number of channels: {c1} vs {c2}\n")
+        return 1
+    if only_channel >= 0 and only_channel >= c1:
+        sys.stderr.write(
+            f"Cannot compute SSIM for channel {only_channel}, images have only {c1} channels\n"
+        )
+        return 1
+
+    try:
+        result = compute_ssim_channels(
+            img1,
+            img2,
+            channel=None if only_channel < 0 else only_channel,
+            luminance=luminance,
+            with_map=map_path is not None,
+            impl=impl,
+        )
+    except Exception as e:
+        sys.stderr.write(f"{e}\n")
+        return 1
+
+    if only_channel >= 0 or luminance or len(result.per_channel) == 1:
+        sys.stdout.write(f"{result.per_channel[0]: 7.4f}\n")
+    else:
+        for c, s in enumerate(result.per_channel):
+            sys.stdout.write(f"Channel {c}: {s: 7.4f}\n")
+        sys.stdout.write(f"Average  : {result.average: 7.4f}\n")
+
+    if map_path is not None:
+        maps = result.maps  # (C, H, W)
+        out = maps[0] if maps.shape[0] == 1 else np.moveaxis(maps, 0, -1)
+        try:
+            save_map(map_path, out)
+        except Exception as e:
+            sys.stderr.write(f"{e}\n")
+            return 1
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

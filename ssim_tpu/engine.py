@@ -1,0 +1,110 @@
+"""Core engine: validation, dispatch, and high-precision finalization.
+
+The TPU-native analogue of the reference's core engine
+(compute_ssim, src/ssim.cpp:933-1106): validate inputs, select an
+implementation, run the per-tile pipeline, and reduce partial sums into the
+global score. Divergences are deliberate and documented:
+
+- The reference's tiling loop / thread-pool job dispatch
+  (src/ssim.cpp:902-926,1084-1086) lives inside the compute paths (Pallas
+  grid / XLA fusion); the engine only orchestrates.
+- The reference accumulates in double no matter the pixel precision
+  (src/ssim.cpp:594,1102). TPUs have no fast f64, so compute paths return
+  f32 per-row partial sums (tree-reduced on device) and the engine
+  finalizes the mean in f64 on the host. Accuracy is validated against the
+  oracle in the test suite, not assumed.
+- The reference swallows dispatch errors when no global score is requested
+  (src/ssim.cpp:1094-1097) and can overflow uint32 width*height
+  (src/ssim.cpp:1102); we do neither.
+"""
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .dispatch import Implementation, backend_platform, select_impl
+from .errors import InvalidArgumentError
+
+
+def validate_pair(a: np.ndarray, b: np.ndarray) -> None:
+    """Input validation (reference EINVAL paths, src/ssim.cpp:962-978)."""
+    if a.ndim not in (2, 3):
+        raise InvalidArgumentError(f"images must be (H, W) or (B, H, W); got {a.shape}")
+    if a.shape != b.shape:
+        raise InvalidArgumentError(f"image shapes differ: {a.shape} vs {b.shape}")
+    if a.shape[-1] < 1 or a.shape[-2] < 1:
+        raise InvalidArgumentError(f"empty image: {a.shape}")
+    for x in (a, b):
+        if not (np.issubdtype(x.dtype, np.integer) or np.issubdtype(x.dtype, np.floating)):
+            raise InvalidArgumentError(f"unsupported dtype {x.dtype}")
+
+
+def finalize_mean(partials: np.ndarray, npix: int) -> np.ndarray:
+    """f64 host reduction of f32 partial sums -> global SSIM.
+
+    Honors the reference's always-double accumulation (src/ssim.cpp:594);
+    this is the host-side analogue of its final serial partial-sum reduce
+    (src/ssim.cpp:1098-1102). partials: (..., K) per-row or per-tile f32
+    sums; returns (...) float64 mean over npix pixels.
+    """
+    ps = np.asarray(partials, dtype=np.float64)
+    return ps.sum(axis=-1) / np.float64(npix)
+
+
+def compute(
+    a,
+    b,
+    *,
+    with_map: bool = False,
+    impl="auto",
+    data_range: float = 255.0,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Run SSIM end-to-end on host arrays.
+
+    a, b: (H, W) or (B, H, W) uint8-like arrays.
+    Returns (global_ssim float64 scalar or (B,), map f32 or None).
+    """
+    a = np.asarray(a)
+    b = np.asarray(b)
+    validate_pair(a, b)
+    impl = select_impl(impl)
+    h, w = a.shape[-2], a.shape[-1]
+
+    if impl == Implementation.REFERENCE:
+        from . import reference
+
+        if a.ndim == 2:
+            g, m = reference.compute_ssim(a, b, with_map=with_map, data_range=data_range)
+            return np.float64(g), (None if m is None else m.astype(np.float32))
+        gs, ms = [], []
+        for i in range(a.shape[0]):
+            g, m = reference.compute_ssim(a[i], b[i], with_map=with_map, data_range=data_range)
+            gs.append(g)
+            ms.append(m)
+        return (
+            np.asarray(gs, dtype=np.float64),
+            None if not with_map else np.stack(ms).astype(np.float32),
+        )
+
+    if impl == Implementation.HOST:
+        from .ops import host
+
+        return host.compute(a, b, with_map=with_map, data_range=data_range)
+
+    if impl == Implementation.PALLAS:
+        from .ops.ssim_pallas import ssim_parts_pallas
+
+        partials, ssim_map = ssim_parts_pallas(
+            a,
+            b,
+            with_map=with_map,
+            data_range=data_range,
+            interpret=backend_platform() != "tpu",
+        )
+    else:  # XLA
+        from .ops.ssim_xla import ssim_parts_xla
+
+        partials, ssim_map = ssim_parts_xla(a, b, with_map=with_map, data_range=data_range)
+
+    global_ssim = finalize_mean(np.asarray(partials), h * w)
+    return global_ssim, (None if ssim_map is None else np.asarray(ssim_map))

@@ -1,0 +1,83 @@
+"""Batch data parallelism: image pairs sharded across the mesh.
+
+The TPU-native analogue of the reference's thread-pool dispatch
+(src/ssim.cpp:1061, contract include/rmgr/ssim.h:451-466): work units
+(whole image pairs, instead of 256x64 tiles) are distributed to workers
+(chips, instead of threads), partial results stay worker-local (sharded
+outputs, instead of per-thread ThreadParams.value at src/ssim.cpp:916),
+and the global reduction is an XLA psum over ICI (instead of the serial
+loop at src/ssim.cpp:1098-1099).
+"""
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.ssim_xla import ssim_parts_xla
+
+
+def ssim_batch_sharded(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    with_map: bool = False,
+    data_range: float = 255.0,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Per-image SSIM over a sharded batch.
+
+    a, b: (B, H, W) with B divisible by the mesh axis size. Returns
+    (row_sums (B, H) f32, map (B, H, W) or None), both sharded over the
+    batch axis — maps never leave their device, like the reference's
+    tile-local map writes (src/ssim.cpp:659-668).
+    """
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)) if with_map else (P(axis), P()),
+    )
+    def shard_fn(a_s, b_s):
+        row_sums, ssim_map = ssim_parts_xla(
+            a_s, b_s, with_map=with_map, data_range=data_range
+        )
+        if not with_map:
+            return row_sums, jnp.zeros((), jnp.float32)  # placeholder
+        return row_sums, ssim_map
+
+    row_sums, ssim_map = shard_fn(a, b)
+    return row_sums, (ssim_map if with_map else None)
+
+
+def mean_ssim_sharded(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    data_range: float = 255.0,
+) -> jnp.ndarray:
+    """Mean SSIM over a sharded batch, reduced with psum over ICI —
+    the distributed equivalent of the reference's final serial reduce
+    (src/ssim.cpp:1098-1099). Returns a replicated f32 scalar."""
+
+    n = a.shape[-1] * a.shape[-2]
+    batch = a.shape[0]
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(),
+    )
+    def shard_fn(a_s, b_s):
+        row_sums, _ = ssim_parts_xla(a_s, b_s, with_map=False, data_range=data_range)
+        local = jnp.sum(row_sums) / n  # sum of this shard's per-image SSIMs
+        return jax.lax.psum(local, axis) / batch
+
+    return shard_fn(a, b)

@@ -1,0 +1,115 @@
+"""API-surface tests: parameter semantics, layout views, errors, version —
+parity with the reference's API behavior (include/rmgr/ssim.h) and its API
+test (tests/rmgr-ssim-tests.cpp:510-517)."""
+
+import numpy as np
+import pytest
+
+import ssim_tpu
+from ssim_tpu import (
+    ImageView,
+    InvalidArgumentError,
+    Params,
+    UnsupportedError,
+    compute_ssim,
+    get_version,
+)
+
+
+def test_version():
+    v = get_version()
+    assert (v.major, v.minor, v.patch) == (0, 1, 0)
+    assert ssim_tpu.__version__ == str(v)
+
+
+def test_interleaved_view(rng):
+    img = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    for c in range(3):
+        view = ImageView.from_interleaved(img, c)
+        np.testing.assert_array_equal(view.data, img[:, :, c])
+    with pytest.raises(InvalidArgumentError):
+        ImageView.from_interleaved(img, 3)
+
+
+def test_planar_view(rng):
+    img = rng.integers(0, 256, (3, 20, 30), dtype=np.uint8)
+    view = ImageView.from_planar(img, 1)
+    np.testing.assert_array_equal(view.data, img[1])
+
+
+def test_strided_view_negative_stride(rng):
+    """Bottom-up layouts via negative stride (reference supports them,
+    include/rmgr/ssim.h:516,553)."""
+    img = rng.integers(0, 256, (8, 5), dtype=np.uint8)
+    flat = img.reshape(-1)
+    bottom_up = ImageView.from_strided(
+        flat, width=5, height=8, step=1, stride=-5, offset=(8 - 1) * 5
+    )
+    np.testing.assert_array_equal(bottom_up.data, img[::-1])
+
+
+def test_strided_view_interleaved_equiv(rng):
+    img = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+    v = ImageView.from_strided(img.reshape(-1), width=7, height=6, step=3, stride=21, offset=1)
+    np.testing.assert_array_equal(v.data, img[:, :, 1])
+
+
+def test_strided_out_of_bounds():
+    with pytest.raises(InvalidArgumentError):
+        ImageView.from_strided(np.zeros(10, np.uint8), width=4, height=4, step=1, stride=4)
+
+
+def test_params_entry(rng):
+    a = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    p = Params(ImageView.from_gray(a), ImageView.from_gray(a), with_map=True, implementation="xla")
+    score, m = compute_ssim(p)
+    assert score == pytest.approx(1.0, abs=1e-6)
+    assert m.shape == (32, 32)
+
+
+def test_shape_mismatch():
+    with pytest.raises(InvalidArgumentError):
+        compute_ssim(np.zeros((4, 4), np.uint8), np.zeros((5, 4), np.uint8))
+
+
+def test_bad_impl():
+    with pytest.raises(UnsupportedError):
+        compute_ssim(np.zeros((8, 8), np.uint8), np.zeros((8, 8), np.uint8), impl="avx512")
+
+
+def test_swapped_dims_traversal(rng):
+    """Docs-promised traversal freedom: swapping width/height with
+    step/stride computes the same SSIM (include/rmgr/ssim.h:590-592)."""
+    a = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    b = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    direct = compute_ssim(a, b, impl="xla")
+    transposed = compute_ssim(a.T, b.T, impl="xla")
+    assert direct == pytest.approx(transposed, abs=2e-6)
+
+
+def test_luminance_bt601_fixed_point():
+    from ssim_tpu.utils import luminance_bt601
+
+    rgb = np.array([[[255, 255, 255], [0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]]], np.uint8)
+    y = luminance_bt601(rgb)
+    # Bit-exact with reference CLI fixed-point (src/ssim-cli.cpp:158-186).
+    want = [(255 * 19595 + 255 * 38470 + 255 * 7471 + 32768) // 65536,
+            32768 // 65536,
+            (255 * 19595 + 32768) // 65536,
+            (255 * 38470 + 32768) // 65536,
+            (255 * 7471 + 32768) // 65536]
+    np.testing.assert_array_equal(y[0], np.array(want, np.uint8))
+
+
+def test_map_export_roundtrip(tmp_path, rng):
+    from ssim_tpu.utils import save_map
+    from ssim_tpu.utils.imageio import load_pfm
+
+    m = rng.random((16, 20)).astype(np.float32) * 2 - 0.5
+    pfm = tmp_path / "map.pfm"
+    save_map(str(pfm), m)
+    back = load_pfm(str(pfm))
+    np.testing.assert_allclose(back, m, atol=0)
+    for ext in ("png", "tga"):
+        save_map(str(tmp_path / f"map.{ext}"), m)
+        assert (tmp_path / f"map.{ext}").stat().st_size > 0

@@ -1,0 +1,107 @@
+"""CLI parity tests (reference src/ssim-cli.cpp): option surface, output
+format, channel policies, map export."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ssim_tpu import cli, compute_ssim
+from ssim_tpu.multichannel import compute_ssim_channels
+from ssim_tpu.utils import luminance_bt601
+from ssim_tpu.utils.imageio import load_pfm
+
+
+@pytest.fixture()
+def image_pair(tmp_path, rng):
+    a = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    noise = rng.normal(0, 10, a.shape).astype(np.int32)
+    b = np.clip(a.astype(np.int32) + noise, 0, 255).astype(np.uint8)
+    pa, pb = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    Image.fromarray(a).save(pa)
+    Image.fromarray(b).save(pb)
+    return a, b, pa, pb
+
+
+def test_help(capsys):
+    assert cli.main(["--help"]) == 0
+    out = capsys.readouterr().out
+    assert "Usage" in out and "-y" in out
+
+
+def test_no_args_fails(capsys):
+    assert cli.main([]) == 1
+
+
+def test_per_channel_output(image_pair, capsys):
+    a, b, pa, pb = image_pair
+    assert cli.main(["--impl=xla", pa, pb]) == 0
+    out = capsys.readouterr().out
+    lines = out.strip().splitlines()
+    assert len(lines) == 4  # 3 channels + average (src/ssim-cli.cpp:205-210)
+    assert lines[0].startswith("Channel 0:")
+    assert lines[3].startswith("Average  :")
+    want = compute_ssim(a[:, :, 0], b[:, :, 0], impl="xla")
+    assert float(lines[0].split(":")[1]) == pytest.approx(want, abs=5e-5)
+
+
+def test_single_channel_option(image_pair, capsys):
+    a, b, pa, pb = image_pair
+    assert cli.main(["-2", "--impl=xla", pa, pb]) == 0
+    out = capsys.readouterr().out.strip()
+    want = compute_ssim(a[:, :, 2], b[:, :, 2], impl="xla")
+    assert float(out) == pytest.approx(want, abs=5e-5)
+
+
+def test_luminance_option(image_pair, capsys):
+    a, b, pa, pb = image_pair
+    assert cli.main(["-y", "--impl=xla", pa, pb]) == 0
+    out = capsys.readouterr().out.strip()
+    want = compute_ssim(luminance_bt601(a), luminance_bt601(b), impl="xla")
+    assert float(out) == pytest.approx(want, abs=5e-5)
+
+
+def test_channel_out_of_range(image_pair, capsys):
+    _, _, pa, pb = image_pair
+    assert cli.main(["-3", pa, pb]) == 1
+    assert "only" in capsys.readouterr().err
+
+
+def test_dimension_mismatch(tmp_path, rng, capsys):
+    a = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, (8, 9, 3), dtype=np.uint8)
+    pa, pb = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    Image.fromarray(a).save(pa)
+    Image.fromarray(b).save(pb)
+    assert cli.main([pa, pb]) == 1
+    assert "same dimensions" in capsys.readouterr().err
+
+
+def test_map_export_pfm(image_pair, tmp_path, capsys):
+    a, b, pa, pb = image_pair
+    map_path = str(tmp_path / "map.pfm")
+    assert cli.main(["-y", "--impl=xla", pa, pb, map_path]) == 0
+    m = load_pfm(map_path)
+    assert m.shape == (48, 64)
+    _, want = compute_ssim(luminance_bt601(a), luminance_bt601(b), with_map=True, impl="xla")
+    np.testing.assert_allclose(m, want, atol=1e-6)
+
+
+def test_map_export_png_interleaved(image_pair, tmp_path, capsys):
+    _, _, pa, pb = image_pair
+    map_path = str(tmp_path / "map.png")
+    assert cli.main(["--impl=xla", pa, pb, map_path]) == 0
+    m = np.asarray(Image.open(map_path))
+    assert m.shape == (48, 64, 3)  # interleaved per-channel map
+
+
+def test_multichannel_batched_equals_serial(rng):
+    """The batched channel stack must equal per-channel serial calls."""
+    a = rng.integers(0, 256, (32, 40, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, (32, 40, 3), dtype=np.uint8)
+    res = compute_ssim_channels(a, b, impl="xla")
+    for c in range(3):
+        want = compute_ssim(a[:, :, c], b[:, :, c], impl="xla")
+        assert res.per_channel[c] == pytest.approx(want, abs=1e-9)
+    assert res.average == pytest.approx(np.mean(res.per_channel), abs=1e-12)

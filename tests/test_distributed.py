@@ -1,0 +1,85 @@
+"""Sharded-execution tests on the 8-virtual-device CPU mesh (SURVEY.md §4.8:
+sharded vs single-device results must match to tolerance without hardware)."""
+
+import numpy as np
+import pytest
+
+from ssim_tpu import compute_ssim, engine
+from ssim_tpu.parallel import (
+    default_mesh,
+    make_mesh,
+    mean_ssim_sharded,
+    ssim_batch_sharded,
+    ssim_spatial_sharded,
+)
+
+from conftest import random_pair
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (set XLA_FLAGS=--xla_force_host_platform_device_count=8)")
+    return default_mesh("data", 8)
+
+
+def test_batch_sharded_matches_single(rng, mesh8):
+    pairs = [random_pair(rng, 64, 96) for _ in range(8)]
+    a = np.stack([p[0] for p in pairs])
+    b = np.stack([p[1] for p in pairs])
+    row_sums, _ = ssim_batch_sharded(a, b, mesh8)
+    scores = engine.finalize_mean(np.asarray(row_sums), 64 * 96)
+    for i in range(8):
+        single = compute_ssim(a[i], b[i], impl="xla")
+        assert scores[i] == pytest.approx(single, abs=1e-7)
+
+
+def test_batch_sharded_with_map(rng, mesh8):
+    pairs = [random_pair(rng, 40, 64) for _ in range(8)]
+    a = np.stack([p[0] for p in pairs])
+    b = np.stack([p[1] for p in pairs])
+    row_sums, maps = ssim_batch_sharded(a, b, mesh8, with_map=True)
+    assert maps.shape == (8, 40, 64)
+    _, want_map = compute_ssim(a[3], b[3], with_map=True, impl="xla")
+    assert np.abs(np.asarray(maps[3]) - want_map).max() < 5e-6
+
+
+def test_mean_ssim_psum(rng, mesh8):
+    pairs = [random_pair(rng, 48, 64) for _ in range(8)]
+    a = np.stack([p[0] for p in pairs])
+    b = np.stack([p[1] for p in pairs])
+    got = float(mean_ssim_sharded(a, b, mesh8))
+    want = np.mean([compute_ssim(a[i], b[i], impl="xla") for i in range(8)])
+    assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_spatial_sharded_matches_single(rng):
+    """Row-sharded huge-image path: halo exchange must reproduce the
+    unsharded result (interior shard boundaries use real neighbor rows)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = make_mesh((4,), ("space",))
+    a, b = random_pair(rng, 4 * 50, 96)  # H=200 divisible by 4
+    row_sums, smap = ssim_spatial_sharded(a, b, mesh, with_map=True)
+    got = engine.finalize_mean(np.asarray(row_sums), 200 * 96)
+    want, want_map = compute_ssim(a, b, with_map=True, impl="xla")
+    assert float(got) == pytest.approx(want, abs=1e-7)
+    assert np.abs(np.asarray(smap) - want_map).max() < 5e-6
+
+
+def test_spatial_small_shards(rng):
+    """Shard height of exactly radius rows still works (halo == shard)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh((8,), ("space",))
+    a, b = random_pair(rng, 8 * 8, 64)
+    row_sums, _ = ssim_spatial_sharded(a, b, mesh)
+    got = engine.finalize_mean(np.asarray(row_sums), 64 * 64)
+    want = compute_ssim(a, b, impl="xla")
+    assert float(got) == pytest.approx(want, abs=1e-7)

@@ -1,0 +1,69 @@
+"""Differential tests: fused Pallas kernel vs the f64 oracle.
+
+On the CPU test backend the kernel runs in Pallas interpreter mode
+(numerics identical to TPU modulo instruction scheduling); the TPU
+compile path is exercised by bench.py and __graft_entry__.py on hardware.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from ssim_tpu import compute_ssim, reference
+from ssim_tpu.testing import frozen
+from ssim_tpu.utils import load_image
+
+from conftest import random_pair
+
+
+def _check(a, b):
+    want, want_map = reference.compute_ssim(a, b, with_map=True)
+    got, got_map = compute_ssim(a, b, with_map=True, impl="pallas")
+    npix = a.shape[-1] * a.shape[-2]
+    tol = max(frozen.GLOBAL_TOLERANCE_F32, 2e-3 / npix**0.5)
+    assert abs(got - want) < tol, (got, want, tol)
+    assert got_map.shape == want_map.shape
+    assert np.abs(got_map - want_map).max() < frozen.PIXEL_TOLERANCE_F32
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [(1, 1), (9, 13), (63, 255), (65, 257), (112, 128), (113, 129), (200, 300)],
+)
+def test_odd_shapes_vs_oracle(rng, shape):
+    a, b = random_pair(rng, *shape)
+    _check(a, b)
+
+
+def test_einstein_vs_oracle(images_dir):
+    ref = load_image(os.path.join(images_dir, "einstein.png"))
+    img = load_image(os.path.join(images_dir, "blur.png"))
+    _check(img, ref)
+
+
+def test_einstein_frozen_global(images_dir):
+    ref = load_image(os.path.join(images_dir, "einstein.png"))
+    for name, want in frozen.EINSTEIN_SUITE.items():
+        img = load_image(os.path.join(images_dir, name))
+        got = compute_ssim(img, ref, impl="pallas")
+        assert abs(got - want) < frozen.GLOBAL_TOLERANCE_F32, (name, got, want)
+
+
+def test_batched_matches_single(rng):
+    pairs = [random_pair(rng, 60, 90) for _ in range(2)]
+    a = np.stack([p[0] for p in pairs])
+    b = np.stack([p[1] for p in pairs])
+    scores = compute_ssim(a, b, impl="pallas")
+    for i in range(2):
+        single = compute_ssim(a[i], b[i], impl="pallas")
+        assert scores[i] == pytest.approx(single, abs=1e-9)
+
+
+def test_pallas_matches_xla(rng):
+    """The two optimized paths must agree to f32-roundoff levels."""
+    a, b = random_pair(rng, 150, 220)
+    gx, mx = compute_ssim(a, b, with_map=True, impl="xla")
+    gp, mp = compute_ssim(a, b, with_map=True, impl="pallas")
+    assert gp == pytest.approx(gx, abs=5e-7)
+    assert np.abs(mp - mx).max() < 5e-4
