@@ -38,6 +38,7 @@ def compute_ssim(
     with_map: bool = False,
     impl="auto",
     data_range: float = 255.0,
+    precision: str = "f32",
 ):
     """Global SSIM of two single-channel images (or batches of them).
 
@@ -54,7 +55,8 @@ def compute_ssim(
         impl = p.implementation
         data_range = p.data_range
     score, ssim_map = engine.compute(
-        _unwrap(a), _unwrap(b), with_map=with_map, impl=impl, data_range=data_range
+        _unwrap(a), _unwrap(b), with_map=with_map, impl=impl,
+        data_range=data_range, precision=precision,
     )
     score = float(score) if np.ndim(score) == 0 else score
     if with_map:

@@ -58,16 +58,26 @@ def compute(
     with_map: bool = False,
     impl="auto",
     data_range: float = 255.0,
+    precision: str = "f32",
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Run SSIM end-to-end on host arrays.
 
     a, b: (H, W) or (B, H, W) uint8-like arrays.
+    precision: "f32" (reference default Float) or "f64" (the reference's
+    RMGR_SSIM_USE_DOUBLE build, src/ssim_internal.h:26-37). TPUs have no
+    fast f64, so f64 runs on the host NumPy path — precision parity, not
+    a TPU path.
     Returns (global_ssim float64 scalar or (B,), map f32 or None).
     """
     a = np.asarray(a)
     b = np.asarray(b)
     validate_pair(a, b)
-    impl = select_impl(impl)
+    if precision not in ("f32", "f64"):
+        raise InvalidArgumentError(f"precision must be f32 or f64, got {precision!r}")
+    if precision == "f64":
+        impl = Implementation.REFERENCE
+    else:
+        impl = select_impl(impl)
     h, w = a.shape[-2], a.shape[-1]
 
     if impl == Implementation.REFERENCE:

@@ -1,0 +1,75 @@
+"""Native C++ host backend tests (ops/host.py + native/ssim_host.cpp):
+the CPU-deployment parity path, differentially tested like every other
+implementation."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from ssim_tpu import reference
+from ssim_tpu.testing import frozen
+
+from conftest import random_pair
+
+
+@pytest.fixture(scope="module")
+def host():
+    from ssim_tpu.ops import host as host_mod
+
+    if not host_mod.is_available():
+        try:
+            subprocess.run(
+                ["make", "-C", "native"], cwd=host_mod._lib_path().rsplit("/", 2)[0],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception as e:
+            pytest.skip(f"cannot build native backend: {e}")
+        host_mod._TRIED = False  # re-probe
+        if not host_mod.is_available():
+            pytest.skip("native backend unavailable after build")
+    return host_mod
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (9, 13), (63, 255), (128, 200)])
+def test_host_vs_oracle(rng, host, shape):
+    a, b = random_pair(rng, *shape)
+    want, want_map = reference.compute_ssim(a, b, with_map=True)
+    got, got_map = host.compute(a, b, with_map=True)
+    npix = shape[0] * shape[1]
+    tol = max(frozen.GLOBAL_TOLERANCE_F32, 2e-3 / npix**0.5)
+    assert abs(float(got) - want) < tol
+    assert np.abs(got_map - want_map).max() < frozen.PIXEL_TOLERANCE_F32
+
+
+def test_host_einstein_frozen(host, images_dir):
+    import os
+
+    from ssim_tpu.utils import load_image
+
+    ref = load_image(os.path.join(images_dir, "einstein.png"))
+    for name, want in frozen.EINSTEIN_SUITE.items():
+        img = load_image(os.path.join(images_dir, name))
+        got, _ = host.compute(img, ref)
+        assert abs(float(got) - want) < frozen.GLOBAL_TOLERANCE_F32, (name, got)
+
+
+def test_host_via_engine(rng, host):
+    from ssim_tpu import compute_ssim
+
+    a, b = random_pair(rng, 64, 96)
+    got = compute_ssim(a, b, impl="host")
+    want, _ = reference.compute_ssim(a, b)
+    assert got == pytest.approx(want, abs=2e-6)
+
+
+def test_host_batched(rng, host):
+    a1, b1 = random_pair(rng, 32, 48)
+    a2, b2 = random_pair(rng, 32, 48)
+    scores, maps = host.compute(
+        np.stack([a1, a2]), np.stack([b1, b2]), with_map=True
+    )
+    assert scores.shape == (2,)
+    assert maps.shape == (2, 32, 48)
+    s1, _ = host.compute(a1, b1)
+    assert scores[0] == pytest.approx(float(s1), abs=1e-12)
