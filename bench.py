@@ -84,11 +84,15 @@ def bench(impl: str = "pallas", with_map: bool = False, batch: int = 8,
         assert np.isfinite(v)
         return t1 - t0
 
-    t_short = min(timed(short) for _ in range(3))
-    t_long = min(timed(long_) for _ in range(3))
-    dt = max(t_long - t_short, 1e-9)
-    pixels = batch * h * w * (long_ - short)
-    return pixels / dt / 1e6  # Mpix/s
+    # Best-of-3 paired measurements: the RPC tunnel adds noisy fixed
+    # overhead per synchronous call, so take the best delta.
+    best = 0.0
+    for _ in range(3):
+        ts = timed(short)
+        tl = timed(long_)
+        dt = max(tl - ts, 1e-9)
+        best = max(best, batch * h * w * (long_ - short) / dt)
+    return best / 1e6  # Mpix/s
 
 
 def main():

@@ -27,6 +27,8 @@ from .api import (
     ssim_loss,
 )
 from .dispatch import Implementation, select_impl, available_impls
+from .config import Config, get_config, set_config
+from .models import ms_ssim, compute_ms_ssim
 from . import reference
 
 __all__ = [
@@ -51,5 +53,10 @@ __all__ = [
     "Implementation",
     "select_impl",
     "available_impls",
+    "Config",
+    "get_config",
+    "set_config",
+    "ms_ssim",
+    "compute_ms_ssim",
     "reference",
 ]

@@ -36,9 +36,9 @@ def compute_ssim(
     b=None,
     *,
     with_map: bool = False,
-    impl="auto",
+    impl=None,
     data_range: float = 255.0,
-    precision: str = "f32",
+    precision=None,
 ):
     """Global SSIM of two single-channel images (or batches of them).
 

@@ -3,6 +3,7 @@
 Usage: python -m ssim_tpu.cli [options] img1 img2 [map]
   -#            compute SSIM only for channel # (0..3)  (src/ssim-cli.cpp:237-245)
   -y            compute SSIM on BT.601 luminance        (src/ssim-cli.cpp:246-247)
+  --ms          compute multi-scale SSIM (extension; single channel/luminance)
   --impl=NAME   implementation override (extension; default auto)
 
 Output format matches the reference (src/ssim-cli.cpp:143,197,205-210):
@@ -24,6 +25,7 @@ def print_help(file=sys.stdout):
         "  -y  Compute SSIM on luminance\n"
         "      For images with <= 2 channels, only channel 0's SSIM will be computed\n"
         "      For images with >= 3 channels, first three channels are converted from RGB to Y\n"
+        "  --ms Compute multi-scale SSIM (MS-SSIM) instead of SSIM\n"
         "  --impl=NAME  Force implementation (auto/xla/pallas/reference/host)\n\n"
     )
 
@@ -37,6 +39,7 @@ def main(argv=None) -> int:
 
     only_channel = -1
     luminance = False
+    multiscale = False
     impl = "auto"
 
     while argv and argv[0].startswith("-"):
@@ -45,6 +48,8 @@ def main(argv=None) -> int:
             only_channel = int(opt[1])
         elif opt == "-y":
             luminance = True
+        elif opt == "--ms":
+            multiscale = True
         elif opt.startswith("--impl="):
             impl = opt.split("=", 1)[1]
         else:
@@ -84,6 +89,27 @@ def main(argv=None) -> int:
             f"Cannot compute SSIM for channel {only_channel}, images have only {c1} channels\n"
         )
         return 1
+
+    if multiscale:
+        from .models import compute_ms_ssim
+        from .utils import luminance_bt601
+
+        if map_path is not None:
+            sys.stderr.write("--ms does not produce a per-pixel map\n")
+            return 1
+        try:
+            if img1.ndim == 3 and (luminance or only_channel < 0):
+                m1, m2 = luminance_bt601(img1), luminance_bt601(img2)
+            elif img1.ndim == 3:
+                m1, m2 = img1[:, :, only_channel], img2[:, :, only_channel]
+            else:
+                m1, m2 = img1, img2
+            score = compute_ms_ssim(m1, m2)
+        except Exception as e:
+            sys.stderr.write(f"{e}\n")
+            return 1
+        sys.stdout.write(f"{score: 7.4f}\n")
+        return 0
 
     try:
         result = compute_ssim_channels(

