@@ -16,7 +16,31 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.ssim_xla import ssim_parts_xla
+from ..dispatch import Implementation, backend_platform, select_impl
+
+
+def _parts_fn(impl):
+    """Resolve the per-shard compute path. Defaults to the fused Pallas
+    kernel on TPU and the XLA path elsewhere."""
+    impl = select_impl(impl)
+    if impl == Implementation.PALLAS:
+        from ..ops.ssim_pallas import ssim_parts_pallas
+
+        interpret = backend_platform() != "tpu"
+
+        def parts(a, b, with_map, data_range):
+            return ssim_parts_pallas(
+                a, b, with_map=with_map, data_range=data_range,
+                interpret=interpret,
+            )
+
+        return parts
+    from ..ops.ssim_xla import ssim_parts_xla
+
+    def parts(a, b, with_map, data_range):
+        return ssim_parts_xla(a, b, with_map=with_map, data_range=data_range)
+
+    return parts
 
 
 def ssim_batch_sharded(
@@ -27,14 +51,17 @@ def ssim_batch_sharded(
     axis: str = "data",
     with_map: bool = False,
     data_range: float = 255.0,
+    impl="auto",
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Per-image SSIM over a sharded batch.
 
     a, b: (B, H, W) with B divisible by the mesh axis size. Returns
-    (row_sums (B, H) f32, map (B, H, W) or None), both sharded over the
-    batch axis — maps never leave their device, like the reference's
-    tile-local map writes (src/ssim.cpp:659-668).
+    (partials (B, K) f32 per-image partial sums, map (B, H, W) or None),
+    both sharded over the batch axis — maps never leave their device,
+    like the reference's tile-local map writes (src/ssim.cpp:659-668).
+    Finalize with engine.finalize_mean(partials, H*W).
     """
+    parts = _parts_fn(impl)
 
     @functools.partial(
         jax.shard_map,
@@ -43,15 +70,13 @@ def ssim_batch_sharded(
         out_specs=(P(axis), P(axis)) if with_map else (P(axis), P()),
     )
     def shard_fn(a_s, b_s):
-        row_sums, ssim_map = ssim_parts_xla(
-            a_s, b_s, with_map=with_map, data_range=data_range
-        )
+        partials, ssim_map = parts(a_s, b_s, with_map, data_range)
         if not with_map:
-            return row_sums, jnp.zeros((), jnp.float32)  # placeholder
-        return row_sums, ssim_map
+            return partials, jnp.zeros((), jnp.float32)  # placeholder
+        return partials, ssim_map
 
-    row_sums, ssim_map = shard_fn(a, b)
-    return row_sums, (ssim_map if with_map else None)
+    partials, ssim_map = shard_fn(a, b)
+    return partials, (ssim_map if with_map else None)
 
 
 def mean_ssim_sharded(
@@ -61,6 +86,7 @@ def mean_ssim_sharded(
     *,
     axis: str = "data",
     data_range: float = 255.0,
+    impl="auto",
 ) -> jnp.ndarray:
     """Mean SSIM over a sharded batch, reduced with psum over ICI —
     the distributed equivalent of the reference's final serial reduce
@@ -68,6 +94,7 @@ def mean_ssim_sharded(
 
     n = a.shape[-1] * a.shape[-2]
     batch = a.shape[0]
+    parts = _parts_fn(impl)
 
     @functools.partial(
         jax.shard_map,
@@ -76,8 +103,8 @@ def mean_ssim_sharded(
         out_specs=P(),
     )
     def shard_fn(a_s, b_s):
-        row_sums, _ = ssim_parts_xla(a_s, b_s, with_map=False, data_range=data_range)
-        local = jnp.sum(row_sums) / n  # sum of this shard's per-image SSIMs
+        partials, _ = parts(a_s, b_s, False, data_range)
+        local = jnp.sum(partials) / n  # sum of this shard's per-image SSIMs
         return jax.lax.psum(local, axis) / batch
 
     return shard_fn(a, b)

@@ -83,3 +83,16 @@ def test_spatial_small_shards(rng):
     got = engine.finalize_mean(np.asarray(row_sums), 64 * 64)
     want = compute_ssim(a, b, impl="xla")
     assert float(got) == pytest.approx(want, abs=1e-7)
+
+
+def test_batch_sharded_pallas_impl(rng, mesh8):
+    """The fused-kernel path must also work inside shard_map (interpret
+    mode on the CPU mesh; compiled on real TPU pods)."""
+    pairs = [random_pair(rng, 48, 80) for _ in range(8)]
+    a = np.stack([p[0] for p in pairs])
+    b = np.stack([p[1] for p in pairs])
+    partials, _ = ssim_batch_sharded(a, b, mesh8, impl="pallas")
+    scores = engine.finalize_mean(np.asarray(partials), 48 * 80)
+    for i in range(8):
+        single = compute_ssim(a[i], b[i], impl="pallas")
+        assert scores[i] == pytest.approx(single, abs=1e-7)
