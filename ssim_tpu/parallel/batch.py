@@ -68,6 +68,7 @@ def ssim_batch_sharded(
         mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=(P(axis), P(axis)) if with_map else (P(axis), P()),
+        check_vma=False,  # pallas_call outputs carry no vma metadata
     )
     def shard_fn(a_s, b_s):
         partials, ssim_map = parts(a_s, b_s, with_map, data_range)
@@ -101,6 +102,7 @@ def mean_ssim_sharded(
         mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=P(),
+        check_vma=False,  # pallas_call outputs carry no vma metadata
     )
     def shard_fn(a_s, b_s):
         partials, _ = parts(a_s, b_s, False, data_range)
