@@ -67,3 +67,16 @@ def test_pallas_matches_xla(rng):
     gp, mp = compute_ssim(a, b, with_map=True, impl="pallas")
     assert gp == pytest.approx(gx, abs=5e-7)
     assert np.abs(mp - mx).max() < 5e-4
+
+
+def test_wide_image_banded_path(rng):
+    """Images wider than one tile take the banded 2-D grid path; verify it
+    against the oracle (w=2200 > 2048-lane tile)."""
+    a, b = random_pair(rng, 40, 2200)
+    _check(a, b)
+
+
+def test_map_on_nonmultiple_width(rng):
+    """Overlap path with w not a multiple of 128 (map zero-fill branch)."""
+    a, b = random_pair(rng, 70, 300)
+    _check(a, b)
