@@ -1,0 +1,102 @@
+"""Batch image-pair loading for high-throughput evaluation.
+
+The reference is a single-pair library; its CLI decodes two files per
+process (src/ssim-cli.cpp:261-271). A production TPU deployment instead
+streams batches: this loader decodes image pairs with a thread pool
+(decode is the host-side bottleneck at multi-Gpix/s device throughput),
+groups them by resolution (XLA shapes are static), and yields stacked
+uint8 batches ready for `compute_ssim` / `ssim_batch_sharded`.
+"""
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, Sequence, Tuple
+
+import numpy as np
+
+from .imageio import load_image, luminance_bt601
+
+
+def _to_gray(arr: np.ndarray, policy: str) -> np.ndarray:
+    if arr.ndim == 2:
+        return arr
+    if policy == "luminance":
+        return luminance_bt601(arr)
+    if policy.startswith("channel:"):
+        return arr[:, :, int(policy.split(":", 1)[1])]
+    raise ValueError(f"unknown channel policy {policy!r} (luminance | channel:N)")
+
+
+def load_pairs(
+    pairs: Sequence[Tuple[str, str]],
+    *,
+    channel_policy: str = "luminance",
+    num_threads: int = 8,
+) -> List[Tuple[str, np.ndarray, np.ndarray]]:
+    """Decode image pairs concurrently -> [(name, a, b)] single-channel u8."""
+
+    def one(pair):
+        pa, pb = pair
+        a = _to_gray(load_image(pa), channel_policy)
+        b = _to_gray(load_image(pb), channel_policy)
+        if a.shape != b.shape:
+            raise ValueError(f"size mismatch: {pa} {a.shape} vs {pb} {b.shape}")
+        return os.path.basename(pa), a, b
+
+    with ThreadPoolExecutor(max_workers=num_threads) as ex:
+        return list(ex.map(one, pairs))
+
+
+def batched_pairs(
+    pairs: Sequence[Tuple[str, str]],
+    *,
+    batch_size: int = 8,
+    channel_policy: str = "luminance",
+    num_threads: int = 8,
+) -> Iterator[Tuple[List[str], np.ndarray, np.ndarray]]:
+    """Yield (names, a_batch, b_batch) with a/b stacked (B, H, W) uint8.
+
+    Pairs are grouped by resolution (one compiled kernel per shape); the
+    final group of each resolution may be smaller than batch_size.
+    """
+    loaded = load_pairs(pairs, channel_policy=channel_policy, num_threads=num_threads)
+    by_shape = {}
+    for name, a, b in loaded:
+        by_shape.setdefault(a.shape, []).append((name, a, b))
+    for shape, items in by_shape.items():
+        for i in range(0, len(items), batch_size):
+            chunk = items[i : i + batch_size]
+            names = [c[0] for c in chunk]
+            a = np.stack([c[1] for c in chunk])
+            b = np.stack([c[2] for c in chunk])
+            yield names, a, b
+
+
+def evaluate_directory(
+    dir_a: str,
+    dir_b: str,
+    *,
+    batch_size: int = 8,
+    channel_policy: str = "luminance",
+    impl="auto",
+) -> List[Tuple[str, float]]:
+    """SSIM for every same-named image in two directories, batched.
+
+    Returns [(filename, ssim)] sorted by filename.
+    """
+    from .. import engine
+
+    names = sorted(
+        f for f in os.listdir(dir_a)
+        if os.path.isfile(os.path.join(dir_b, f))
+        and f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp", ".tga"))
+    )
+    pairs = [(os.path.join(dir_a, f), os.path.join(dir_b, f)) for f in names]
+    results = []
+    for batch_names, a, b in batched_pairs(
+        pairs, batch_size=batch_size, channel_policy=channel_policy
+    ):
+        scores, _ = engine.compute(a, b, impl=impl)
+        scores = np.atleast_1d(scores)
+        results.extend(zip(batch_names, (float(s) for s in scores)))
+    return sorted(results)

@@ -113,3 +113,32 @@ def test_map_export_roundtrip(tmp_path, rng):
     for ext in ("png", "tga"):
         save_map(str(tmp_path / f"map.{ext}"), m)
         assert (tmp_path / f"map.{ext}").stat().st_size > 0
+
+
+def test_precision_f64_mode(rng):
+    """RMGR_SSIM_USE_DOUBLE equivalent: f64 mode matches the oracle to the
+    double-build tolerance class (reference tests use 5e-7 global)."""
+    from ssim_tpu import reference
+
+    a = rng.integers(0, 256, (60, 90), dtype=np.uint8)
+    b = rng.integers(0, 256, (60, 90), dtype=np.uint8)
+    want, _ = reference.compute_ssim(a, b)
+    got = compute_ssim(a, b, precision="f64")
+    assert got == pytest.approx(want, abs=1e-13)
+    with pytest.raises(InvalidArgumentError):
+        compute_ssim(a, b, precision="f16")
+
+
+def test_env_config_impl(rng, monkeypatch):
+    """SSIM_TPU_IMPL env default is honored (config.py)."""
+    import ssim_tpu.config as cfg
+
+    monkeypatch.setenv("SSIM_TPU_IMPL", "reference")
+    cfg.set_config(cfg.Config.from_env())
+    try:
+        a = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+        got = compute_ssim(a, a)
+        assert got == pytest.approx(1.0, abs=1e-12)
+    finally:
+        monkeypatch.delenv("SSIM_TPU_IMPL")
+        cfg.set_config(cfg.Config.from_env())
