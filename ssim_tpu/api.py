@@ -69,36 +69,50 @@ def compute_ssim_map(a, b, *, impl="auto", data_range: float = 255.0):
     return compute_ssim(a, b, with_map=True, impl=impl, data_range=data_range)
 
 
+def _jit_parts(impl):
+    from .dispatch import backend_platform
+
+    impl = select_impl(impl)
+    if impl == Implementation.PALLAS:
+        from .ops.ssim_pallas import ssim_parts_pallas
+
+        interpret = backend_platform() != "tpu"
+
+        def parts(a, b, with_map, data_range):
+            return ssim_parts_pallas(
+                a, b, with_map=with_map, data_range=data_range,
+                interpret=interpret,
+            )
+
+        return parts
+    from .ops.ssim_xla import ssim_parts_xla
+
+    def parts(a, b, with_map, data_range):
+        return ssim_parts_xla(a, b, with_map=with_map, data_range=data_range)
+
+    return parts
+
+
 @functools.partial(jax.jit, static_argnames=("data_range", "impl"))
-def ssim(a, b, *, data_range: float = 255.0, impl: str = "xla") -> jnp.ndarray:
+def ssim(a, b, *, data_range: float = 255.0, impl: str = "auto") -> jnp.ndarray:
     """Jittable global SSIM, f32 on device. a, b: (..., H, W).
 
     Returns scalar for 2-D inputs, (B,) for batched. Differentiable when
     impl='xla'.
     """
-    impl = select_impl(impl)
-    if impl == Implementation.PALLAS:
-        from .ops.ssim_pallas import ssim_parts_pallas as parts
-    else:
-        from .ops.ssim_xla import ssim_parts_xla as parts
-    row_sums, _ = parts(a, b, with_map=False, data_range=data_range)
+    partials, _ = _jit_parts(impl)(a, b, False, data_range)
     n = a.shape[-1] * a.shape[-2]
-    return jnp.sum(row_sums, axis=-1) / n
+    return jnp.sum(partials, axis=-1) / n
 
 
 @functools.partial(jax.jit, static_argnames=("data_range", "impl"))
 def ssim_and_map(
-    a, b, *, data_range: float = 255.0, impl: str = "xla"
+    a, b, *, data_range: float = 255.0, impl: str = "auto"
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Jittable (global_ssim, per-pixel map)."""
-    impl = select_impl(impl)
-    if impl == Implementation.PALLAS:
-        from .ops.ssim_pallas import ssim_parts_pallas as parts
-    else:
-        from .ops.ssim_xla import ssim_parts_xla as parts
-    row_sums, ssim_map = parts(a, b, with_map=True, data_range=data_range)
+    partials, ssim_map = _jit_parts(impl)(a, b, True, data_range)
     n = a.shape[-1] * a.shape[-2]
-    return jnp.sum(row_sums, axis=-1) / n, ssim_map
+    return jnp.sum(partials, axis=-1) / n, ssim_map
 
 
 @functools.partial(jax.jit, static_argnames=("data_range",))

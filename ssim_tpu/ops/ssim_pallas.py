@@ -297,8 +297,13 @@ def _overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h):
             )
 
     def prep(x):
-        x = jnp.pad(x, ((0, 0), (r, r), (r, r)), mode="edge")
-        return jnp.pad(x, ((0, 0), (0, hp - (h + 2 * r)), (0, wp - (w + 2 * r))))
+        # One fused edge-pad to the final aligned shape; the extra
+        # bottom/right replication lands in masked/sliced-away regions.
+        return jnp.pad(
+            x,
+            ((0, 0), (r, hp - h - r), (r, wp - w - r)),
+            mode="edge",
+        )
 
     pa = prep(a)
     pb = prep(b)

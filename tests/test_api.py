@@ -142,3 +142,18 @@ def test_env_config_impl(rng, monkeypatch):
     finally:
         monkeypatch.delenv("SSIM_TPU_IMPL")
         cfg.set_config(cfg.Config.from_env())
+
+
+def test_jittable_pallas_impl(rng):
+    """ssim()/ssim_and_map() with the fused-kernel impl (interpret mode on
+    CPU) must match the XLA impl."""
+    from ssim_tpu import ssim, ssim_and_map
+
+    a = rng.integers(0, 256, (50, 70), dtype=np.uint8)
+    b = rng.integers(0, 256, (50, 70), dtype=np.uint8)
+    sx = float(ssim(a, b, impl="xla"))
+    sp = float(ssim(a, b, impl="pallas"))
+    assert sp == pytest.approx(sx, abs=5e-6)
+    g, m = ssim_and_map(a, b, impl="pallas")
+    assert m.shape == (50, 70)
+    assert float(g) == pytest.approx(sx, abs=5e-6)
