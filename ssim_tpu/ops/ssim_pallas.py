@@ -100,32 +100,38 @@ def _band_stack(xp, nh, nw, tile_h, tile_w, band_rows, band_cols):
     return jnp.stack(rows, axis=-4)
 
 
-def vertical_band_matrix(tile_h: int, band_rows: int, taps: np.ndarray) -> np.ndarray:
-    """Banded (tile_h, band_rows) matrix V with V[y, y+d] = taps[d]:
+def vertical_band_matrix(
+    tile_h: int, band_rows: int, taps: np.ndarray, shift: int = 0
+) -> np.ndarray:
+    """Banded (tile_h, band_rows) matrix V with V[y, shift+y+d] = taps[d]:
     left-multiplying an input band computes the vertical blur pass as one
     MXU matmul (64-96 MACs/px, well inside MXU headroom — measured ~1.3x
     end-to-end speedup over the VPU tap loop on v5e, and more accurate
-    because the MXU accumulates in one pass)."""
+    because the MXU accumulates in one pass). `shift` absorbs layout
+    offsets (e.g. the pad kernel's 8-row alignment vs the radius-5 halo)."""
     v = np.zeros((tile_h, band_rows), np.float32)
     for y in range(tile_h):
         for d in range(len(taps)):
-            v[y, y + d] = taps[d]
+            v[y, shift + y + d] = taps[d]
     return v
 
 
-def _make_hpass(t, r, out_w):
+def _make_hpass(t, r, out_w, co=None):
     """11-tap symmetric horizontal blur -> (..., out_w), smallest taps
     accumulated first (symmetric-pair factorization of the reference's
-    L/R symmetry, src/ssim.cpp:366-449)."""
+    L/R symmetry, src/ssim.cpp:366-449). `co` is the lane offset of image
+    column 0 in the input (default: the radius-halo layout)."""
+    if co is None:
+        co = r
 
     def hpass(v):
         acc = None
         for d in range(r, 0, -1):  # smallest taps first
-            lo = jax.lax.slice_in_dim(v, r - d, r - d + out_w, axis=-1)
-            hi = jax.lax.slice_in_dim(v, r + d, r + d + out_w, axis=-1)
+            lo = jax.lax.slice_in_dim(v, co - d, co - d + out_w, axis=-1)
+            hi = jax.lax.slice_in_dim(v, co + d, co + d + out_w, axis=-1)
             term = t[r - d] * (lo + hi)
             acc = term if acc is None else acc + term
-        return acc + t[r] * jax.lax.slice_in_dim(v, r, r + out_w, axis=-1)
+        return acc + t[r] * jax.lax.slice_in_dim(v, co, co + out_w, axis=-1)
 
     return hpass
 
@@ -224,23 +230,29 @@ def _overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h):
     materializing overlapping halo bands in HBM, the SAME padded array is
     passed through TWO BlockSpecs whose index maps differ by one block —
     each kernel instance sees row-block i and row-block i+1 and builds its
-    10-row halo by concatenation in VMEM. Saves the whole band-stack
-    prep pass (~15% end-to-end on v5e: 8.2 -> ~9.0 Gpix/s at 1080p).
+    10-row halo by concatenation in VMEM. Padding itself is a Pallas DMA
+    kernel when geometry allows (ops/pad.py); the image sits at aligned
+    offset (ROW_OFF=8, COL_OFF=128) and the odd radius-5 halo offset is
+    folded into the band matrix / hpass slice bases.
 
     Requires tile_h to be a multiple of 32 (u8 block alignment against
     the (nh+1)-block padded array).
     """
+    from .pad import COL_OFF, ROW_OFF, pad_align
+
     r = RADIUS
     batch = a.shape[0]
     tile_h = max(32, min(max_tile_h, 256) // 32 * 32)
     nh = -(-h // tile_h)
-    wp = _round_up(w + 2 * r, 128)
+    wp = COL_OFF + _round_up(w + r, 128)
     hp = (nh + 1) * tile_h  # one junk block past the end for the hi spec
     band = tile_h + 16
     wmap = _round_up(w, 128)
-    vmat = jnp.asarray(vertical_band_matrix(tile_h, band, taps))
+    vmat = jnp.asarray(
+        vertical_band_matrix(tile_h, band, taps, shift=ROW_OFF - r)
+    )
     t = [float(v) for v in taps]
-    hpass = _make_hpass(t, r, w)
+    hpass = _make_hpass(t, r, w, co=COL_OFF)
 
     def kernel(vm_ref, alo_ref, ahi_ref, blo_ref, bhi_ref, *out_refs):
         i = pl.program_id(1)
@@ -296,17 +308,8 @@ def _overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h):
                 i == nh - 1, masked_sum, lambda: jnp.sum(ssim)
             )
 
-    def prep(x):
-        # One fused edge-pad to the final aligned shape; the extra
-        # bottom/right replication lands in masked/sliced-away regions.
-        return jnp.pad(
-            x,
-            ((0, 0), (r, hp - h - r), (r, wp - w - r)),
-            mode="edge",
-        )
-
-    pa = prep(a)
-    pb = prep(b)
+    pa = pad_align(a, hp, wp, tile_h, interpret=interpret)
+    pb = pad_align(b, hp, wp, tile_h, interpret=interpret)
 
     lo_spec = pl.BlockSpec((1, tile_h, wp), lambda bi, i: (bi, i, 0),
                            memory_space=pltpu.VMEM)
