@@ -14,7 +14,7 @@ Mirrors the reference's public surface (include/rmgr/ssim.h:428-732):
 """
 
 import functools
-from typing import Optional, Tuple, Union
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -1,6 +1,6 @@
 """Device-mesh helpers."""
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -17,7 +17,7 @@ Parity with the reference's parameter structs (include/rmgr/ssim.h):
 """
 
 from dataclasses import dataclass, field
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 

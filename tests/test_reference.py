@@ -57,3 +57,19 @@ def test_map_matches_global(rng):
 def test_shape_mismatch_raises():
     with pytest.raises(ValueError):
         reference.compute_ssim(np.zeros((4, 4)), np.zeros((4, 5)))
+
+
+@pytest.mark.parametrize("quality_idx", [0, 10])
+def test_bbb1080_decoder_tolerance(images_dir, quality_idx):
+    """Full-production-size (1920x1080) frozen-constant check
+    (tests/rmgr-ssim-tests.cpp:410-423), decoder-tolerance limited."""
+    png = load_image(os.path.join(images_dir, "big_buck_bunny_1080_07806.png"))
+    q = quality_idx * 10
+    jpg = load_image(
+        os.path.join(images_dir, f"big_buck_bunny_1080_07806_{q:02d}.jpg")
+    )
+    assert png.shape == (1080, 1920, 3)
+    for c in range(3):
+        got, _ = reference.compute_ssim(jpg[:, :, c], png[:, :, c])
+        want = frozen.BBB1080[quality_idx][c]
+        assert abs(got - want) < frozen.DECODER_TOLERANCE, (q, c, got, want)

@@ -99,3 +99,11 @@ def test_ssim_loss_differentiable(rng):
 def test_identical_is_one(rng):
     a, _ = random_pair(rng, 50, 70)
     assert compute_ssim(a, a, impl="xla") == pytest.approx(1.0, abs=1e-6)
+
+
+def test_bbb1080_differential(images_dir):
+    """Production-size differential check on real content (1080p RGB)."""
+    png = load_image(os.path.join(images_dir, "big_buck_bunny_1080_07806.png"))
+    jpg = load_image(os.path.join(images_dir, "big_buck_bunny_1080_07806_50.jpg"))
+    a, b = jpg[:, :, 1], png[:, :, 1]
+    _check(a, b)
