@@ -80,3 +80,10 @@ def test_map_on_nonmultiple_width(rng):
     """Overlap path with w not a multiple of 128 (map zero-fill branch)."""
     a, b = random_pair(rng, 70, 300)
     _check(a, b)
+
+
+def test_4k_geometry(rng):
+    """4K width stays on the overlap fast path (VMEM-validated on TPU);
+    differential check at a reduced height for CI speed."""
+    a, b = random_pair(rng, 64, 3840)
+    _check(a, b)
