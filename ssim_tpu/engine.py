@@ -108,7 +108,7 @@ def compute(
 
         return host.compute(a, b, with_map=with_map, data_range=data_range)
 
-    if impl == Implementation.PALLAS:
+    if impl == Implementation.PALLAS and not np.issubdtype(a.dtype, np.floating):
         from .ops.ssim_pallas import ssim_parts_pallas
 
         tile_kwargs = {}
@@ -124,7 +124,11 @@ def compute(
             interpret=backend_platform() != "tpu",
             **tile_kwargs,
         )
-    else:  # XLA
+    else:
+        # XLA path; also the float-input fallback — the fused kernel's u8
+        # fast path matches the reference's u8-only contract
+        # (README.md:107-111), while the API accepts float images (e.g.
+        # data_range=1.0) like the jittable ssim()/ssim_loss surface.
         from .ops.ssim_xla import ssim_parts_xla
 
         partials, ssim_map = ssim_parts_xla(a, b, with_map=with_map, data_range=data_range)

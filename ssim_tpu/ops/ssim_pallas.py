@@ -382,6 +382,12 @@ def ssim_parts_pallas(
     if radius != RADIUS:
         raise ValueError("the fused kernel is specialized to radius 5, like the "
                          "reference's fast paths (src/ssim.cpp:364)")
+    if jnp.issubdtype(a.dtype, jnp.floating) or jnp.issubdtype(b.dtype, jnp.floating):
+        raise ValueError(
+            "the fused kernel is specialized to 8-bit inputs (the reference's "
+            "only supported depth, README.md:107-111); use the XLA path for "
+            "float images"
+        )
     squeeze = a.ndim == 2
     if squeeze:
         a = a[None]

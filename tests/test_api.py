@@ -157,3 +157,22 @@ def test_jittable_pallas_impl(rng):
     g, m = ssim_and_map(a, b, impl="pallas")
     assert m.shape == (50, 70)
     assert float(g) == pytest.approx(sx, abs=5e-6)
+
+
+def test_float_inputs_route_correctly(rng):
+    """Float images (data_range=1.0) must not be squashed through the u8
+    fast path; engine falls back to the XLA path."""
+    a = rng.random((40, 64)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.05, a.shape).astype(np.float32), 0, 1)
+    got = compute_ssim(a, b, impl="pallas", data_range=1.0)
+    from ssim_tpu import reference
+
+    want, _ = reference.compute_ssim(a, b, data_range=1.0)
+    assert got == pytest.approx(want, abs=1e-5)
+
+
+def test_pallas_rejects_float_directly():
+    from ssim_tpu.ops.ssim_pallas import ssim_parts_pallas
+
+    with pytest.raises(ValueError):
+        ssim_parts_pallas(np.zeros((8, 8), np.float32), np.zeros((8, 8), np.float32))
