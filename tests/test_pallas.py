@@ -87,3 +87,16 @@ def test_4k_geometry(rng):
     differential check at a reduced height for CI speed."""
     a, b = random_pair(rng, 64, 3840)
     _check(a, b)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_geometry(seed):
+    """Randomized geometry fuzz: fused kernel vs oracle on random sizes
+    (both fast and banded paths, odd dims, tiny and tall shapes)."""
+    r = np.random.default_rng(1000 + seed)
+    h = int(r.integers(1, 400))
+    w = int(r.integers(1, 2300))
+    a = r.integers(0, 256, (h, w), dtype=np.uint8)
+    noise = r.normal(0, 15, a.shape).astype(np.int32)
+    b = np.clip(a.astype(np.int32) + noise, 0, 255).astype(np.uint8)
+    _check(a, b)
