@@ -67,37 +67,6 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _tile_geometry(h: int, w: int, max_tile_h: int = TILE_H, max_tile_w: int = TILE_W):
-    """Static tile geometry for an (h, w) image."""
-    tile_h = max(8, min(_round_up(max_tile_h, 8), _round_up(h, 8)))
-    tile_w = min(max_tile_w, _round_up(w, 128))
-    nh = -(-h // tile_h)
-    nw = -(-w // tile_w)
-    band_rows = _round_up(tile_h + 2 * RADIUS, 32)
-    band_cols = tile_w + COL_OVERLAP
-    return tile_h, tile_w, nh, nw, band_rows, band_cols
-
-
-def _band_stack(xp, nh, nw, tile_h, tile_w, band_rows, band_cols):
-    """Padded (..., Hp, Wp) -> (..., nh, nw, band_rows, band_cols) bands.
-
-    xp is the image padded with a RADIUS halo on top/left and enough
-    zero-fill bottom/right; band (i, j) starts at padded row i*tile_h,
-    padded col j*tile_w (so image pixel (y, x) sits at padded (y+r, x+r)).
-    """
-    rows = []
-    for i in range(nh):
-        cols = [
-            jax.lax.slice_in_dim(
-                jax.lax.slice_in_dim(xp, i * tile_h, i * tile_h + band_rows, axis=-2),
-                j * tile_w,
-                j * tile_w + band_cols,
-                axis=-1,
-            )
-            for j in range(nw)
-        ]
-        rows.append(jnp.stack(cols, axis=-3))
-    return jnp.stack(rows, axis=-4)
 
 
 def vertical_band_matrix(
@@ -150,79 +119,6 @@ def _ssim_from_blurs(mu_a, mu_b, s_ss, s_dd, c1, c2):
     den = (mu_a2 + mu_b2 + c1) * (0.5 * sigma_sum_x2 + c2)
     return num / den
 
-
-def _make_kernel(h, w, tile_h, tile_w, nh, nw, taps, c1, c2, with_map):
-    r = RADIUS
-    t = [float(v) for v in taps]
-    hpass = _make_hpass(t, r, tile_w)
-
-    def kernel(vmat_ref, a_ref, b_ref, *out_refs):
-        i = pl.program_id(1)
-        j = pl.program_id(2)
-        vmat = vmat_ref[...]
-        # Mosaic has no direct u8->f32 cast; hop through int32.
-        a = a_ref[0, 0, 0].astype(jnp.int32).astype(jnp.float32)
-        b = b_ref[0, 0, 0].astype(jnp.int32).astype(jnp.float32)
-        # Four blurred signals instead of the reference's five (a, b, a*a,
-        # b*b, a*b; src/ssim.cpp:766-779): with S = blur((a+b)^2) and
-        # D = blur((a-b)^2), linearity gives S + D = 2*(blur(a^2) +
-        # blur(b^2)) and S - D = 4*blur(a*b) — exactly the sigma
-        # combinations the formula needs, for one fewer blur chain. All
-        # squared signals stay f32-exact ((a+b)^2 <= 260100 < 2^24).
-        s = a + b
-        d = a - b
-        # Vertical pass on the MXU (banded matmul); horizontal pass on the
-        # VPU — the two units run concurrently.
-        def vpass(x):
-            return jax.lax.dot_general(
-                vmat, x, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-
-        ssim = _ssim_from_blurs(
-            hpass(vpass(a)),
-            hpass(vpass(b)),
-            hpass(vpass(s * s)),  # blur((a+b)^2)
-            hpass(vpass(d * d)),  # blur((a-b)^2)
-            c1,
-            c2,
-        )
-
-        if with_map:
-            map_ref, sum_ref = out_refs
-            map_ref[0] = ssim
-        else:
-            (sum_ref,) = out_refs
-        # Mask out-of-image pixels of partial tiles (the reference never
-        # sums beyond width/height either, src/ssim.cpp:612-676). Only
-        # edge tiles pay the masking cost.
-        partial_rows = h % tile_h != 0
-        partial_cols = w % tile_w != 0
-        if not partial_rows and not partial_cols:
-            sum_ref[0, 0, 0, 0, 0] = jnp.sum(ssim)
-        else:
-            conds = []
-            if partial_rows:
-                conds.append(i == nh - 1)
-            if partial_cols:
-                conds.append(j == nw - 1)
-            is_edge = conds[0] if len(conds) == 1 else jnp.logical_or(*conds)
-
-            def masked_sum():
-                rows_left = h - i * tile_h
-                cols_left = w - j * tile_w
-                rid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-                cid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-                return jnp.sum(
-                    jnp.where((rid < rows_left) & (cid < cols_left), ssim, 0.0)
-                )
-
-            sum_ref[0, 0, 0, 0, 0] = jax.lax.cond(
-                is_edge, masked_sum, lambda: jnp.sum(ssim)
-            )
-
-    return kernel
 
 
 def _overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h):
@@ -354,6 +250,150 @@ def _overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h):
     return tile_sums.reshape(batch, nh), ssim_map
 
 
+#: Lane-chunk width of the wide-image path. 2048 keeps the VMEM working
+#: set small while amortizing the 256-lane halo concat (12.5%).
+CHUNK_W = 2048
+
+
+def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h):
+    """Wide-image path (w beyond one tile): the overlap design generalized
+    to a 2-D grid of lane chunks — each kernel instance reads FOUR blocks
+    per image (row-neighbor x lane-neighbor of the same padded array) and
+    builds its 10-row / 10-lane halos by concatenation in VMEM. Same
+    aligned (ROW_OFF, COL_OFF) padded layout as the fast path; this is the
+    TPU shape of the reference's fully general 2-D tile grid with margins
+    (src/ssim.cpp:227-239,902-926).
+    """
+    from .pad import COL_OFF, ROW_OFF, pad_align
+
+    r = RADIUS
+    batch = a.shape[0]
+    tile_h = max(32, min(max_tile_h, 256) // 32 * 32)
+    nh = -(-h // tile_h)
+    nc = -(-w // CHUNK_W)
+    hp = (nh + 1) * tile_h  # junk row block for the row-neighbor spec
+    wp = (nc + 1) * CHUNK_W  # junk lane chunk for the lane-neighbor spec
+    band = tile_h + 16
+    vmat = jnp.asarray(
+        vertical_band_matrix(tile_h, band, taps, shift=ROW_OFF - r)
+    )
+    t = [float(v) for v in taps]
+    hpass = _make_hpass(t, r, CHUNK_W, co=COL_OFF)
+
+    def kernel(vm_ref, a00, a01, a10, a11, b00, b01, b10, b11, *out_refs):
+        i = pl.program_id(1)
+        c = pl.program_id(2)
+        vm = vm_ref[...]
+
+        def band_of(lo_cur, lo_next, hi_cur, hi_next):
+            lo = jnp.concatenate([lo_cur[0], lo_next[0][:, :256]], axis=1)
+            hi = jnp.concatenate(
+                [hi_cur[0][:16], hi_next[0][:16, :256]], axis=1
+            )
+            return (
+                jnp.concatenate([lo, hi], axis=0)
+                .astype(jnp.int32)
+                .astype(jnp.float32)
+            )
+
+        af = band_of(a00, a01, a10, a11)
+        bf = band_of(b00, b01, b10, b11)
+        s = af + bf
+        d = af - bf
+
+        def vpass(x):
+            return jax.lax.dot_general(
+                vm, x, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        ssim = _ssim_from_blurs(
+            hpass(vpass(af)),
+            hpass(vpass(bf)),
+            hpass(vpass(s * s)),
+            hpass(vpass(d * d)),
+            c1,
+            c2,
+        )
+
+        if with_map:
+            map_ref, sum_ref = out_refs
+            map_ref[0] = ssim
+        else:
+            (sum_ref,) = out_refs
+        partial_rows = h % tile_h != 0
+        partial_cols = w % CHUNK_W != 0
+        if not partial_rows and not partial_cols:
+            sum_ref[0, 0, 0, 0, 0] = jnp.sum(ssim)
+        else:
+            conds = []
+            if partial_rows:
+                conds.append(i == nh - 1)
+            if partial_cols:
+                conds.append(c == nc - 1)
+            is_edge = conds[0] if len(conds) == 1 else jnp.logical_or(*conds)
+
+            def masked_sum():
+                rid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, CHUNK_W), 0)
+                cid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, CHUNK_W), 1)
+                mask = (rid < h - i * tile_h) & (cid < w - c * CHUNK_W)
+                return jnp.sum(jnp.where(mask, ssim, 0.0))
+
+            sum_ref[0, 0, 0, 0, 0] = jax.lax.cond(
+                is_edge, masked_sum, lambda: jnp.sum(ssim)
+            )
+
+    pa = pad_align(a, hp, wp, tile_h, interpret=interpret)
+    pb = pad_align(b, hp, wp, tile_h, interpret=interpret)
+
+    def spec(di, dc):
+        return pl.BlockSpec(
+            (1, tile_h, CHUNK_W),
+            lambda bi, i, c: (bi, i + di, c + dc),
+            memory_space=pltpu.VMEM,
+        )
+
+    specs = [spec(0, 0), spec(0, 1), spec(1, 0), spec(1, 1)]
+    vm_spec = pl.BlockSpec((tile_h, band), lambda bi, i, c: (0, 0),
+                           memory_space=pltpu.VMEM)
+    out_shapes = []
+    out_specs = []
+    if with_map:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((batch, nh * tile_h, nc * CHUNK_W), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, tile_h, CHUNK_W), lambda bi, i, c: (bi, i, c),
+                         memory_space=pltpu.VMEM)
+        )
+    out_shapes.append(jax.ShapeDtypeStruct((batch, nh, nc, 1, 1), jnp.float32))
+    out_specs.append(
+        pl.BlockSpec((1, 1, 1, 1, 1), lambda bi, i, c: (bi, i, c, 0, 0),
+                     memory_space=pltpu.SMEM)
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(batch, nh, nc),
+        in_specs=[vm_spec] + specs + specs,
+        out_shape=tuple(out_shapes),
+        out_specs=tuple(out_specs),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(vmat, pa, pa, pa, pa, pb, pb, pb, pb)
+
+    if with_map:
+        map_padded, tile_sums = outs
+        ssim_map = map_padded[:, :h, :w]
+    else:
+        (tile_sums,) = outs
+        ssim_map = None
+    return tile_sums.reshape(batch, nh * nc), ssim_map
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -400,86 +440,17 @@ def ssim_parts_pallas(
     c1 = float((0.01 * data_range) ** 2)
     c2 = float((0.03 * data_range) ** 2)
 
-    # Single-column-tile images take the two-BlockSpec overlap fast path
-    # (no band materialization); wider images fall back to the general
-    # banded 2-D grid.
+    # Single-column-tile images take the two-BlockSpec overlap fast path;
+    # wider images use the same design generalized to lane chunks (four
+    # BlockSpecs per image: row-neighbor x lane-neighbor blocks).
     if _round_up(w + 2 * radius, 128) <= max_tile_w + COL_OVERLAP:
         partials, ssim_map = _overlap_call(
             a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h
         )
-        if squeeze:
-            partials = partials[0]
-            ssim_map = None if ssim_map is None else ssim_map[0]
-        return partials, ssim_map
-
-    tile_h, tile_w, nh, nw, band_rows, band_cols = _tile_geometry(h, w, max_tile_h, max_tile_w)
-    hp = nh * tile_h + (band_rows - tile_h)
-    wp = nw * tile_w + COL_OVERLAP
-
-    def prep(x):
-        # Clamp-to-edge halo, then zero-fill to aligned padded shape.
-        x = jnp.pad(x, ((0, 0), (radius, radius), (radius, radius)), mode="edge")
-        x = jnp.pad(
-            x,
-            ((0, 0), (0, hp - (h + 2 * radius)), (0, wp - (w + 2 * radius))),
-        )
-        return _band_stack(x, nh, nw, tile_h, tile_w, band_rows, band_cols)
-
-    a_bands = prep(a)
-    b_bands = prep(b)
-
-    kernel = _make_kernel(h, w, tile_h, tile_w, nh, nw, taps, c1, c2, with_map)
-    vmat = jnp.asarray(vertical_band_matrix(tile_h, band_rows, taps))
-
-    in_spec = pl.BlockSpec(
-        (1, 1, 1, band_rows, band_cols),
-        lambda bi, i, j: (bi, i, j, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    vmat_spec = pl.BlockSpec(
-        (tile_h, band_rows), lambda bi, i, j: (0, 0), memory_space=pltpu.VMEM
-    )
-    out_shapes = []
-    out_specs = []
-    if with_map:
-        # Output tiles don't overlap, so the map is written directly into
-        # its final (padded) layout — no post-transpose needed.
-        out_shapes.append(
-            jax.ShapeDtypeStruct((batch, nh * tile_h, nw * tile_w), jnp.float32)
-        )
-        out_specs.append(
-            pl.BlockSpec((1, tile_h, tile_w), lambda bi, i, j: (bi, i, j),
-                         memory_space=pltpu.VMEM)
-        )
-    # Trailing (1, 1) dims make the block equal to the array's last two
-    # dims, satisfying Mosaic's divisibility-or-equality rule.
-    out_shapes.append(jax.ShapeDtypeStruct((batch, nh, nw, 1, 1), jnp.float32))
-    out_specs.append(
-        pl.BlockSpec((1, 1, 1, 1, 1), lambda bi, i, j: (bi, i, j, 0, 0),
-                     memory_space=pltpu.SMEM)
-    )
-
-    compiler_params = pltpu.CompilerParams(
-        dimension_semantics=("parallel", "parallel", "parallel"),
-    )
-    outs = pl.pallas_call(
-        kernel,
-        grid=(batch, nh, nw),
-        in_specs=[vmat_spec, in_spec, in_spec],
-        out_shape=tuple(out_shapes),
-        out_specs=tuple(out_specs),
-        compiler_params=compiler_params,
-        interpret=interpret,
-    )(vmat, a_bands, b_bands)
-
-    if with_map:
-        map_padded, tile_sums = outs
-        ssim_map = map_padded[:, :h, :w]
     else:
-        (tile_sums,) = outs
-        ssim_map = None
-    partials = tile_sums.reshape(batch, nh * nw)
-
+        partials, ssim_map = _chunked_overlap_call(
+            a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h
+        )
     if squeeze:
         partials = partials[0]
         ssim_map = None if ssim_map is None else ssim_map[0]

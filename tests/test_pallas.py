@@ -69,10 +69,16 @@ def test_pallas_matches_xla(rng):
     assert np.abs(mp - mx).max() < 5e-4
 
 
-def test_wide_image_banded_path(rng):
-    """Images wider than one tile take the banded 2-D grid path; verify it
-    against the oracle (w=2200 > 2048-lane tile)."""
-    a, b = random_pair(rng, 40, 2200)
+def test_wide_image_chunked_path(rng):
+    """Images wider than one tile take the chunked-overlap 2-D grid path;
+    verify against the oracle (w=4500 > 4096-lane tile cap)."""
+    a, b = random_pair(rng, 40, 4500)
+    _check(a, b)
+
+
+def test_wide_image_chunk_multiple(rng):
+    """Chunked path with w an exact multiple of the chunk width."""
+    a, b = random_pair(rng, 40, 6144)
     _check(a, b)
 
 
