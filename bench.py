@@ -85,10 +85,10 @@ def bench(impl: str = "pallas", with_map: bool = False, batch: int = 8,
         assert np.isfinite(v)
         return t1 - t0
 
-    # Best-of-3 paired measurements: the RPC tunnel adds noisy fixed
+    # Best-of-4 paired measurements: the RPC tunnel adds noisy fixed
     # overhead per synchronous call, so take the best delta.
     best = 0.0
-    for _ in range(3):
+    for _ in range(4):
         ts = timed(short)
         tl = timed(long_)
         dt = max(tl - ts, 1e-9)
@@ -99,8 +99,8 @@ def bench(impl: str = "pallas", with_map: bool = False, batch: int = 8,
 def main():
     results = {}
     for name, kwargs in [
-        ("pallas_4k_nomap", dict(impl="pallas", with_map=False, batch=2, h=2160, w=3840, iters=16)),
-        ("pallas_4k_map", dict(impl="pallas", with_map=True, batch=2, h=2160, w=3840, iters=16)),
+        ("pallas_4k_nomap", dict(impl="pallas", with_map=False, batch=4, h=2160, w=3840, iters=24)),
+        ("pallas_4k_map", dict(impl="pallas", with_map=True, batch=4, h=2160, w=3840, iters=24)),
         ("pallas_1080_nomap", dict(impl="pallas", with_map=False)),
         ("pallas_1080_map", dict(impl="pallas", with_map=True)),
         ("xla_1080_nomap", dict(impl="xla", with_map=False)),
