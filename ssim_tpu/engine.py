@@ -108,7 +108,8 @@ def compute(
 
         return host.compute(a, b, with_map=with_map, data_range=data_range)
 
-    if impl == Implementation.PALLAS and not np.issubdtype(a.dtype, np.floating):
+    pallas_ok = a.dtype == np.uint8 and b.dtype == np.uint8
+    if impl == Implementation.PALLAS and pallas_ok:
         from .ops.ssim_pallas import ssim_parts_pallas
 
         tile_kwargs = {}
@@ -125,10 +126,12 @@ def compute(
             **tile_kwargs,
         )
     else:
-        # XLA path; also the float-input fallback — the fused kernel's u8
-        # fast path matches the reference's u8-only contract
-        # (README.md:107-111), while the API accepts float images (e.g.
-        # data_range=1.0) like the jittable ssim()/ssim_loss surface.
+        # XLA path; also the fallback for every non-uint8 dtype — the
+        # fused kernel's u8 fast path matches the reference's u8-only
+        # contract (README.md:107-111), while the API additionally
+        # accepts float images (data_range=1.0) and wider integer depths
+        # (e.g. uint16 with data_range=65535; the reference requires a
+        # rebuild for those, README.md:107-111).
         from .ops.ssim_xla import ssim_parts_xla
 
         partials, ssim_map = ssim_parts_xla(a, b, with_map=with_map, data_range=data_range)

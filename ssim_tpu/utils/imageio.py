@@ -125,6 +125,10 @@ def save_map(path: str, ssim_map: np.ndarray) -> None:
     if ext in (".png", ".bmp"):
         from PIL import Image
 
-        Image.fromarray(q).save(path)
+        if q.ndim == 3 and q.shape[2] == 2:
+            img = Image.fromarray(q, mode="LA")  # gray+alpha maps
+        else:
+            img = Image.fromarray(q)
+        img.save(path)
         return
     raise ValueError(f"unsupported map format {ext!r} (png/bmp/tga/pfm)")

@@ -176,3 +176,21 @@ def test_pallas_rejects_float_directly():
 
     with pytest.raises(ValueError):
         ssim_parts_pallas(np.zeros((8, 8), np.float32), np.zeros((8, 8), np.float32))
+
+
+def test_uint16_inputs(rng):
+    """16-bit depth via the XLA path with data_range=65535 — the
+    capability the reference says requires changing L and retrieve_tile
+    (README.md:107-111)."""
+    a16 = rng.integers(0, 65536, (48, 64), dtype=np.uint16)
+    b16 = np.clip(
+        a16.astype(np.int32) + rng.normal(0, 2000, a16.shape).astype(np.int32),
+        0, 65535,
+    ).astype(np.uint16)
+    from ssim_tpu import reference
+
+    got = compute_ssim(a16, b16, impl="pallas", data_range=65535.0)
+    want, _ = reference.compute_ssim(a16, b16, data_range=65535.0)
+    assert got == pytest.approx(want, abs=2e-4)  # f32 path, 16-bit scale
+    # sanity: identical 16-bit images -> 1
+    assert compute_ssim(a16, a16, data_range=65535.0) == pytest.approx(1.0, abs=1e-5)
