@@ -30,6 +30,18 @@ def _load():
     _TRIED = True
     path = _lib_path()
     if not os.path.exists(path):
+        # Best-effort one-time build (the toolchain is a hard dependency
+        # of this backend anyway; failure just reports unavailable).
+        try:
+            import subprocess
+
+            subprocess.run(
+                ["make", "-C", os.path.dirname(path)],
+                capture_output=True, timeout=120, check=True,
+            )
+        except Exception:
+            return None
+    if not os.path.exists(path):
         return None
     lib = ctypes.CDLL(path)
     lib.ssim_host_compute.restype = ctypes.c_int
