@@ -85,15 +85,16 @@ def bench(impl: str = "pallas", with_map: bool = False, batch: int = 8,
         assert np.isfinite(v)
         return t1 - t0
 
-    # Best-of-4 paired measurements: the RPC tunnel adds noisy fixed
-    # overhead per synchronous call, so take the best delta.
-    best = 0.0
-    for _ in range(4):
-        ts = timed(short)
-        tl = timed(long_)
-        dt = max(tl - ts, 1e-9)
-        best = max(best, batch * h * w * (long_ - short) / dt)
-    return best / 1e6  # Mpix/s
+    # The RPC tunnel adds noisy fixed overhead per synchronous call; take
+    # the MIN of several runs of each loop length (robust against slow
+    # outliers) and compute one delta. A tiny/negative delta would mean
+    # noise swamped the measurement — flag rather than report nonsense.
+    ts = min(timed(short) for _ in range(4))
+    tl = min(timed(long_) for _ in range(4))
+    dt = tl - ts
+    if dt <= 0.01 * tl:
+        raise RuntimeError(f"unstable measurement: short={ts:.4f}s long={tl:.4f}s")
+    return batch * h * w * (long_ - short) / dt / 1e6  # Mpix/s
 
 
 def main():

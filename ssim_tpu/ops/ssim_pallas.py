@@ -4,30 +4,37 @@ One kernel replaces the reference's entire per-tile pipeline
 (process_tile, src/ssim.cpp:747-791: retrieve -> multiply x3 -> blur x5 ->
 sum_tile) and all of its per-ISA SIMD backends. TPU-first design:
 
-- Tiling: a 2-D grid of short, full-width output tiles (default 32 x
-  2048 max), the TPU analogue of the reference's 256x64 tiles
-  (src/ssim.cpp:227-239) but sized to VMEM and lane geometry: each tile's
-  input band carries a 32-row / 128-lane overlap (2*RADIUS of true blur
-  halo + alignment slack), so every VMEM block is (8,128)/(32,128)-tile
-  aligned and Mosaic's automatic pipeline double-buffers the streams —
-  replacing the reference's hand-managed stack buffers and margin
-  arithmetic.
-- Borders: clamp-to-edge is applied once in XLA when building the padded
-  band stack (reference replicates during tile fetch, src/ssim.cpp:515-583).
-- u8 stays u8 through HBM->VMEM (~1.4 bytes/px of DMA traffic per image
-  including halo overlap) and is converted to f32 in VMEM, like the
-  reference's in-tile u8->Float convert.
+- Tiling: a grid of short, full-width output row tiles (32 rows up to
+  4096 lanes), the TPU analogue of the reference's 256x64 tiles
+  (src/ssim.cpp:227-239) but sized to VMEM and lane geometry and fed by
+  Mosaic's automatic double-buffered pipeline instead of hand-managed
+  stack buffers and margin arithmetic.
+- Zero-copy halos (fast path, _nopad_overlap_call): the RAW u8 images
+  are consumed directly — each kernel instance reads the previous,
+  current, and next row blocks of the same array through three clamped
+  BlockSpec index maps and concatenates its 16-row halo band in VMEM.
+  Nothing is ever padded or copied in HBM.
+- Borders: the clamp-to-edge rule (reference tile-fetch replication,
+  src/ssim.cpp:515-583) is folded into per-tile vertical band matrices
+  (clamped_band_matrices): out-of-image rows carry zero weight with
+  their taps re-folded onto the edge row, which simultaneously
+  neutralizes ragged-edge garbage; left/right lane replication is two
+  VMEM broadcasts.
 - Work is split across both compute units: the vertical blur runs on the
-  MXU as a banded matmul (vertical_band_matrix; ~64-96 f32 MACs/px, far
-  inside MXU headroom) while the horizontal blur runs on the VPU with the
-  symmetric-pair factorization (6 muls + 10 adds per 11-tap pass,
-  smallest taps first) — the gather-style equivalent of the reference's
-  L/R-symmetry scatter blur (src/ssim.cpp:366-462). Only four signals are
-  blurred (a, b, (a+b)^2, (a-b)^2) instead of the reference's five; see
-  the kernel body for the linearity identity.
-- Measured on v5e at 1080p: ~8.2 Gpix/s with or without map (~35x the
-  reference's best full-machine CPU number), max global error vs the f64
-  oracle ~2e-8.
+  MXU as a banded matmul (~64-96 f32 MACs/px, far inside MXU headroom)
+  while the horizontal blur runs on the VPU with the symmetric-pair
+  factorization (6 muls + 10 adds per 11-tap pass, smallest taps first)
+  — the gather-style equivalent of the reference's L/R-symmetry scatter
+  blur (src/ssim.cpp:366-462). Only four signals are blurred (a, b,
+  (a+b)^2, (a-b)^2) instead of the reference's five; see the kernel body
+  for the linearity identity.
+- Images wider than one tile use _chunked_overlap_call: the same design
+  generalized to lane chunks over an aligned padded layout produced by
+  the DMA pad kernel (ops/pad.py).
+- Measured on v5e: ~10-12 Gpix/s at 1080p-4K with or without map (43-52x
+  the reference's best full-machine CPU number; the RPC-attached chip
+  adds ~±10% run-to-run variance), ~9.5 at 8K; max global error vs the
+  f64 oracle ~2e-8.
 - Per-pixel SSIM (sum_tile equivalent, src/ssim.cpp:590-704) is evaluated
   in f32; per-tile partial sums (masked to the valid image region) land in
   SMEM and are finalized in f64 on the host, honoring the reference's
@@ -121,50 +128,69 @@ def _ssim_from_blurs(mu_a, mu_b, s_ss, s_dd, c1, c2):
 
 
 
-def _overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h):
-    """Fast path for images no wider than one tile (nw == 1): instead of
-    materializing overlapping halo bands in HBM, the SAME padded array is
-    passed through TWO BlockSpecs whose index maps differ by one block —
-    each kernel instance sees row-block i and row-block i+1 and builds its
-    10-row halo by concatenation in VMEM. Padding itself is a Pallas DMA
-    kernel when geometry allows (ops/pad.py); the image sits at aligned
-    offset (ROW_OFF=8, COL_OFF=128) and the odd radius-5 halo offset is
-    folded into the band matrix / hpass slice bases.
 
-    Requires tile_h to be a multiple of 32 (u8 block alignment against
-    the (nh+1)-block padded array).
+def clamped_band_matrices(tile_h: int, band: int, taps: np.ndarray,
+                          h: int, nh: int) -> np.ndarray:
+    """Per-row-tile vertical blur matrices with the clamp-to-edge border
+    rule folded in (reference replication, src/ssim.cpp:560-582).
+
+    Band column k of tile i holds image row i*tile_h - 8 + k as assembled
+    by the kernel (8 rows from the previous block, the current block, 8
+    rows of the next). Entry [i, y, k] is the total tap weight of that row
+    for output row y — out-of-image rows get ZERO weight (their clamped
+    taps fold onto the edge row's column), which also neutralizes the
+    garbage lanes of ragged edge blocks and the wrong rows delivered by
+    the clamped prev/next index maps at i=0 / i=nh-1."""
+    r = len(taps) // 2
+    v = np.zeros((nh, tile_h, band), np.float32)
+    for i in range(nh):
+        base = i * tile_h - 8
+        for y in range(tile_h):
+            if i * tile_h + y >= h:
+                continue  # fully out-of-image output row (masked anyway)
+            for d in range(len(taps)):
+                src = min(max(i * tile_h + y - r + d, 0), h - 1)
+                k = src - base
+                if 0 <= k < band:
+                    v[i, y, k] += taps[d]
+    return v
+
+
+def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h):
+    """Zero-copy fast path: the RAW (B, H, W) images are consumed directly
+    by the kernel — no padding pass at all. Each instance reads three
+    row blocks per image (prev/cur/next via clamped index maps; ragged
+    edge blocks allowed), builds the vertical halo by concatenation, and
+    applies a per-tile band matrix with the clamp-to-edge rule folded in
+    (clamped_band_matrices). Horizontal edge replication happens in VMEM
+    (two lane concats per image). This removes the pad kernel's HBM round
+    trip and its dispatch (~5-7% end-to-end on v5e).
     """
-    from .pad import COL_OFF, ROW_OFF, pad_align
-
     r = RADIUS
     batch = a.shape[0]
     tile_h = max(32, min(max_tile_h, 256) // 32 * 32)
     nh = -(-h // tile_h)
-    wp = COL_OFF + _round_up(w + r, 128)
-    hp = (nh + 1) * tile_h  # one junk block past the end for the hi spec
     band = tile_h + 16
-    wmap = _round_up(w, 128)
-    vmat = jnp.asarray(
-        vertical_band_matrix(tile_h, band, taps, shift=ROW_OFF - r)
-    )
+    vmats = jnp.asarray(clamped_band_matrices(tile_h, band, taps, h, nh))
     t = [float(v) for v in taps]
-    hpass = _make_hpass(t, r, w, co=COL_OFF)
+    hpass = _make_hpass(t, r, w, co=r)
 
-    def kernel(vm_ref, alo_ref, ahi_ref, blo_ref, bhi_ref, *out_refs):
+    def kernel(vm_ref, ap_ref, ac_ref, an_ref, bp_ref, bc_ref, bn_ref, *out_refs):
         i = pl.program_id(1)
-        vm = vm_ref[...]
+        vm = vm_ref[0]
 
-        def band_of(lo_ref, hi_ref):
-            lo = lo_ref[0]
-            hi = hi_ref[0, :16]
-            return (
-                jnp.concatenate([lo, hi], axis=0)
-                .astype(jnp.int32)
-                .astype(jnp.float32)
-            )
+        def band_of(prev_ref, cur_ref, nxt_ref):
+            raw = jnp.concatenate(
+                [prev_ref[0, tile_h - 8 :], cur_ref[0], nxt_ref[0, :8]], axis=0
+            ).astype(jnp.int32).astype(jnp.float32)
+            # In-VMEM clamp-to-edge lane halo (reference border rule,
+            # src/ssim.cpp:540-555).
+            left = jnp.broadcast_to(raw[:, :1], (band, r))
+            right = jnp.broadcast_to(raw[:, w - 1 : w], (band, r))
+            return jnp.concatenate([left, raw, right], axis=1)
 
-        af = band_of(alo_ref, ahi_ref)
-        bf = band_of(blo_ref, bhi_ref)
+        af = band_of(ap_ref, ac_ref, an_ref)
+        bf = band_of(bp_ref, bc_ref, bn_ref)
         s = af + bf
         d = af - bf
 
@@ -186,11 +212,7 @@ def _overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h):
 
         if with_map:
             map_ref, sum_ref = out_refs
-            if w == wmap:
-                map_ref[0] = ssim
-            else:
-                map_ref[0, :, :w] = ssim
-                map_ref[0, :, w:] = jnp.zeros((tile_h, wmap - w), jnp.float32)
+            map_ref[0] = ssim
         else:
             (sum_ref,) = out_refs
         if h % tile_h == 0:
@@ -204,23 +226,26 @@ def _overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h):
                 i == nh - 1, masked_sum, lambda: jnp.sum(ssim)
             )
 
-    pa = pad_align(a, hp, wp, tile_h, interpret=interpret)
-    pb = pad_align(b, hp, wp, tile_h, interpret=interpret)
+    def spec(di):
+        if di < 0:
+            index = lambda bi, i: (bi, jnp.maximum(i - 1, 0), 0)
+        elif di > 0:
+            index = lambda bi, i: (bi, jnp.minimum(i + 1, nh - 1), 0)
+        else:
+            index = lambda bi, i: (bi, i, 0)
+        return pl.BlockSpec((1, tile_h, w), index, memory_space=pltpu.VMEM)
 
-    lo_spec = pl.BlockSpec((1, tile_h, wp), lambda bi, i: (bi, i, 0),
-                           memory_space=pltpu.VMEM)
-    hi_spec = pl.BlockSpec((1, tile_h, wp), lambda bi, i: (bi, i + 1, 0),
-                           memory_space=pltpu.VMEM)
-    vm_spec = pl.BlockSpec((tile_h, band), lambda bi, i: (0, 0),
+    specs = [spec(-1), spec(0), spec(1)]
+    vm_spec = pl.BlockSpec((1, tile_h, band), lambda bi, i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     out_shapes = []
     out_specs = []
     if with_map:
         out_shapes.append(
-            jax.ShapeDtypeStruct((batch, nh * tile_h, wmap), jnp.float32)
+            jax.ShapeDtypeStruct((batch, nh * tile_h, w), jnp.float32)
         )
         out_specs.append(
-            pl.BlockSpec((1, tile_h, wmap), lambda bi, i: (bi, i, 0),
+            pl.BlockSpec((1, tile_h, w), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM)
         )
     out_shapes.append(jax.ShapeDtypeStruct((batch, nh, 1, 1), jnp.float32))
@@ -232,18 +257,18 @@ def _overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h):
     outs = pl.pallas_call(
         kernel,
         grid=(batch, nh),
-        in_specs=[vm_spec, lo_spec, hi_spec, lo_spec, hi_spec],
+        in_specs=[vm_spec] + specs + specs,
         out_shape=tuple(out_shapes),
         out_specs=tuple(out_specs),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(vmat, pa, pa, pb, pb)
+    )(vmats, a, a, a, b, b, b)
 
     if with_map:
         map_padded, tile_sums = outs
-        ssim_map = map_padded[:, :h, :w]
+        ssim_map = map_padded[:, :h, :]
     else:
         (tile_sums,) = outs
         ssim_map = None
@@ -440,11 +465,11 @@ def ssim_parts_pallas(
     c1 = float((0.01 * data_range) ** 2)
     c2 = float((0.03 * data_range) ** 2)
 
-    # Single-column-tile images take the two-BlockSpec overlap fast path;
-    # wider images use the same design generalized to lane chunks (four
-    # BlockSpecs per image: row-neighbor x lane-neighbor blocks).
+    # Images up to one tile wide take the zero-copy fast path (raw inputs,
+    # per-tile clamp-folded band matrices); wider images use the padded
+    # chunked path (four BlockSpecs per image: row x lane neighbors).
     if _round_up(w + 2 * radius, 128) <= max_tile_w + COL_OVERLAP:
-        partials, ssim_map = _overlap_call(
+        partials, ssim_map = _nopad_overlap_call(
             a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h
         )
     else:
