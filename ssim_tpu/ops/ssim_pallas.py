@@ -275,6 +275,7 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
     return tile_sums.reshape(batch, nh), ssim_map
 
 
+
 #: Lane-chunk width of the wide-image path. 2048 keeps the VMEM working
 #: set small while amortizing the 256-lane halo concat (12.5%).
 CHUNK_W = 2048
