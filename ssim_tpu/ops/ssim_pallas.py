@@ -74,8 +74,6 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-
-
 def vertical_band_matrix(
     tile_h: int, band_rows: int, taps: np.ndarray, shift: int = 0
 ) -> np.ndarray:
@@ -125,8 +123,6 @@ def _ssim_from_blurs(mu_a, mu_b, s_ss, s_dd, c1, c2):
     num = (2.0 * mu_ab + c1) * (0.5 * sigma_ab_x4 + c2)
     den = (mu_a2 + mu_b2 + c1) * (0.5 * sigma_sum_x2 + c2)
     return num / den
-
-
 
 
 def clamped_band_matrices(tile_h: int, band: int, taps: np.ndarray,
@@ -273,7 +269,6 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
         (tile_sums,) = outs
         ssim_map = None
     return tile_sums.reshape(batch, nh), ssim_map
-
 
 
 #: Lane-chunk width of the wide-image path. 2048 keeps the VMEM working
