@@ -130,7 +130,7 @@ def pad_align_pallas(
     return pl.pallas_call(
         kernel,
         grid=(batch, n_blocks),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_shape=jax.ShapeDtypeStruct((batch, hp, wp), jnp.uint8),
         out_specs=pl.BlockSpec(
             (1, tile_h, wp), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM
