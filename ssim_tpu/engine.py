@@ -34,6 +34,8 @@ def validate_pair(a: np.ndarray, b: np.ndarray) -> None:
         raise InvalidArgumentError(f"image shapes differ: {a.shape} vs {b.shape}")
     if a.shape[-1] < 1 or a.shape[-2] < 1:
         raise InvalidArgumentError(f"empty image: {a.shape}")
+    if a.ndim == 3 and a.shape[0] < 1:
+        raise InvalidArgumentError("empty batch")
     for x in (a, b):
         if not (np.issubdtype(x.dtype, np.integer) or np.issubdtype(x.dtype, np.floating)):
             raise InvalidArgumentError(f"unsupported dtype {x.dtype}")

@@ -194,3 +194,8 @@ def test_uint16_inputs(rng):
     assert got == pytest.approx(want, abs=2e-4)  # f32 path, 16-bit scale
     # sanity: identical 16-bit images -> 1
     assert compute_ssim(a16, a16, data_range=65535.0) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_empty_batch_rejected():
+    with pytest.raises(InvalidArgumentError):
+        compute_ssim(np.zeros((0, 8, 8), np.uint8), np.zeros((0, 8, 8), np.uint8))

@@ -41,3 +41,20 @@ def test_pad_dispatch_fallback(rng):
     np.testing.assert_array_equal(got, _truth(x, 96, 512))
     got_xla = np.asarray(pad_align_xla(x, 96, 512))
     np.testing.assert_array_equal(got_xla, _truth(x, 96, 512))
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_pad_fuzz(rng, seed):
+    """Randomized aligned geometries vs jnp.pad."""
+    r = np.random.default_rng(500 + seed)
+    h = int(r.integers(4, 40)) * 8
+    w = int(r.integers(1, 18)) * 128
+    if h < 32:
+        h = 32
+    hp = ((h + ROW_OFF + 31) // 32 + int(r.integers(0, 3))) * 32
+    wp = ((w + COL_OFF + 5 + 127) // 128 + int(r.integers(0, 3))) * 128
+    x = r.integers(0, 256, (2, h, w), dtype=np.uint8)
+    got = np.asarray(
+        pad_align_pallas(x, hp=hp, wp=wp, interpret=backend_platform() != "tpu")
+    )
+    np.testing.assert_array_equal(got, _truth(x, hp, wp))
