@@ -35,10 +35,12 @@ def annotate(name: str) -> Iterator[None]:
 
 
 class Timer:
-    """Wall-clock timer that forces device completion, for quick
-    measurements without a full trace. NOTE: on RPC-attached TPUs a
-    synchronous round-trip costs tens of ms — use bench.py's on-device
-    loop methodology for steady-state numbers."""
+    """Wall-clock timer for quick measurements without a full trace.
+
+    The caller is responsible for blocking on device outputs inside the
+    block (e.g. via a host readback); JAX dispatch is asynchronous. NOTE:
+    on RPC-attached TPUs a synchronous round-trip costs tens of ms — use
+    bench.py's on-device loop methodology for steady-state numbers."""
 
     def __init__(self):
         self.elapsed: Optional[float] = None
@@ -48,7 +50,5 @@ class Timer:
         return self
 
     def __exit__(self, *exc):
-        for d in jax.live_arrays():
-            pass  # no global sync primitive; caller should block on outputs
         self.elapsed = time.perf_counter() - self._t0
         return False
