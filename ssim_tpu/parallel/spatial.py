@@ -60,6 +60,17 @@ def ssim_spatial_sharded(
     map (H, W) f32 or None), row-sharded over the mesh.
     """
     n_shards = mesh.shape[axis]
+    if a.shape[0] % n_shards != 0:
+        raise ValueError(
+            f"image height {a.shape[0]} must be divisible by the '{axis}' "
+            f"mesh axis size {n_shards} (pad the image or choose a mesh "
+            f"that divides it)"
+        )
+    if a.shape[0] // n_shards < radius:
+        raise ValueError(
+            f"shard height {a.shape[0] // n_shards} is smaller than the "
+            f"blur radius {radius}; use fewer shards"
+        )
 
     @functools.partial(
         jax.shard_map,

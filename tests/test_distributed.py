@@ -96,3 +96,14 @@ def test_batch_sharded_pallas_impl(rng, mesh8):
     for i in range(8):
         single = compute_ssim(a[i], b[i], impl="pallas")
         assert scores[i] == pytest.approx(single, abs=1e-7)
+
+
+def test_spatial_indivisible_height_error(rng):
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = make_mesh((4,), ("space",))
+    a, b = random_pair(rng, 102, 64)  # 102 % 4 != 0
+    with pytest.raises(ValueError, match="divisible"):
+        ssim_spatial_sharded(a, b, mesh)
