@@ -75,10 +75,16 @@ def _jit_parts(impl):
     impl = select_impl(impl)
     if impl == Implementation.PALLAS:
         from .ops.ssim_pallas import ssim_parts_pallas
+        from .ops.ssim_xla import ssim_parts_xla
 
         interpret = backend_platform() != "tpu"
 
         def parts(a, b, with_map, data_range):
+            # The fused kernel is uint8-only (reference README.md:107-111);
+            # wider/float dtypes fall back to the XLA path (same gate as
+            # engine.compute) instead of wrapping modulo 256.
+            if a.dtype != jnp.uint8 or b.dtype != jnp.uint8:
+                return ssim_parts_xla(a, b, with_map=with_map, data_range=data_range)
             return ssim_parts_pallas(
                 a, b, with_map=with_map, data_range=data_range,
                 interpret=interpret,

@@ -124,7 +124,10 @@ def main(argv=None) -> int:
         sys.stderr.write(f"{e}\n")
         return 1
 
-    if only_channel >= 0 or luminance or len(result.per_channel) == 1:
+    # The reference prints the bare score only for -# / -y; a 1-channel
+    # image without those still goes through the per-channel loop and
+    # prints "Channel 0" + "Average" lines (src/ssim-cli.cpp:197-210).
+    if only_channel >= 0 or luminance:
         sys.stdout.write(f"{result.per_channel[0]: 7.4f}\n")
     else:
         for c, s in enumerate(result.per_channel):

@@ -443,11 +443,15 @@ def ssim_parts_pallas(
     if radius != RADIUS:
         raise ValueError("the fused kernel is specialized to radius 5, like the "
                          "reference's fast paths (src/ssim.cpp:364)")
-    if jnp.issubdtype(a.dtype, jnp.floating) or jnp.issubdtype(b.dtype, jnp.floating):
+    if a.dtype != jnp.uint8 or b.dtype != jnp.uint8:
+        # Wider integers would silently wrap modulo 256 in the u8 cast
+        # below; floats would be truncated. Refuse both rather than return
+        # a wrong score.
         raise ValueError(
-            "the fused kernel is specialized to 8-bit inputs (the reference's "
-            "only supported depth, README.md:107-111); use the XLA path for "
-            "float images"
+            f"the fused kernel is specialized to uint8 inputs (the "
+            f"reference's only supported depth, README.md:107-111); got "
+            f"{a.dtype}/{b.dtype} — use the XLA path for float or wider "
+            f"integer images"
         )
     squeeze = a.ndim == 2
     if squeeze:

@@ -25,10 +25,16 @@ def _parts_fn(impl):
     impl = select_impl(impl)
     if impl == Implementation.PALLAS:
         from ..ops.ssim_pallas import ssim_parts_pallas
+        from ..ops.ssim_xla import ssim_parts_xla
 
         interpret = backend_platform() != "tpu"
 
         def parts(a, b, with_map, data_range):
+            # uint8-only fused kernel; wider/float dtypes take the XLA
+            # path rather than wrapping modulo 256 (same gate as
+            # engine.compute and api._jit_parts).
+            if a.dtype != jnp.uint8 or b.dtype != jnp.uint8:
+                return ssim_parts_xla(a, b, with_map=with_map, data_range=data_range)
             return ssim_parts_pallas(
                 a, b, with_map=with_map, data_range=data_range,
                 interpret=interpret,

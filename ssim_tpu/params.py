@@ -25,8 +25,13 @@ from .errors import InvalidArgumentError
 
 
 def _as_numpy(data: Any) -> np.ndarray:
-    """Accept NumPy/JAX arrays, lists, or PIL images."""
-    if hasattr(data, "__array__") or isinstance(data, (list, tuple)):
+    """Accept NumPy/JAX arrays, lists, or PIL images (which expose
+    __array_interface__ rather than __array__)."""
+    if (
+        hasattr(data, "__array__")
+        or hasattr(data, "__array_interface__")
+        or isinstance(data, (list, tuple))
+    ):
         return np.asarray(data)
     raise InvalidArgumentError(f"cannot interpret {type(data)!r} as an image array")
 

@@ -49,9 +49,10 @@ def luminance_bt601(rgb: np.ndarray) -> np.ndarray:
 
 
 def quantize_map(ssim_map: np.ndarray) -> np.ndarray:
-    """u8 quantization of an SSIM map: clamp negatives to 0, scale by 255
-    (reference src/ssim-cli.cpp:341-342)."""
-    return (np.maximum(ssim_map, 0.0) * 255.0 + 0.5).astype(np.uint8)
+    """u8 quantization of an SSIM map: clamp negatives to 0, scale by 255,
+    TRUNCATE (not round) — bit parity with the reference CLI's
+    static_cast<uint8_t>(max(0,v)*255) (src/ssim-cli.cpp:341-342)."""
+    return np.minimum(np.maximum(ssim_map, 0.0) * 255.0, 255.0).astype(np.uint8)
 
 
 def _save_pfm(path: str, data: np.ndarray) -> None:

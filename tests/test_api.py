@@ -199,3 +199,36 @@ def test_uint16_inputs(rng):
 def test_empty_batch_rejected():
     with pytest.raises(InvalidArgumentError):
         compute_ssim(np.zeros((0, 8, 8), np.uint8), np.zeros((0, 8, 8), np.uint8))
+
+
+def test_imageview_accepts_pil_image(tmp_path, rng):
+    """PIL images expose __array_interface__, not __array__ — ImageView
+    must accept them as documented."""
+    from PIL import Image
+
+    from ssim_tpu.params import ImageView
+
+    arr = rng.integers(0, 256, (16, 20), dtype=np.uint8)
+    view = ImageView.from_gray(Image.fromarray(arr))
+    np.testing.assert_array_equal(view.data, arr)
+    rgb = rng.integers(0, 256, (16, 20, 3), dtype=np.uint8)
+    view = ImageView.from_interleaved(Image.fromarray(rgb), channel=1)
+    np.testing.assert_array_equal(view.data, rgb[:, :, 1])
+
+
+def test_pallas_rejects_wide_integer_dtypes():
+    """uint16/int32 would wrap modulo 256 in the u8 fast path; the kernel
+    must refuse them and the jittable API must fall back to XLA."""
+    from ssim_tpu import api
+    from ssim_tpu.ops.ssim_pallas import ssim_parts_pallas
+
+    rng = np.random.default_rng(3)
+    a16 = rng.integers(0, 60000, (24, 32), dtype=np.uint16)
+    b16 = rng.integers(0, 60000, (24, 32), dtype=np.uint16)
+    with pytest.raises(ValueError, match="uint8"):
+        ssim_parts_pallas(a16, b16, interpret=True)
+
+    # api.ssim with impl='pallas' must silently take the XLA path instead.
+    got = float(api.ssim(a16, b16, data_range=65535.0, impl="pallas"))
+    want = float(api.ssim(a16, b16, data_range=65535.0, impl="xla"))
+    assert got == pytest.approx(want, abs=1e-7)

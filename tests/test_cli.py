@@ -105,3 +105,31 @@ def test_multichannel_batched_equals_serial(rng):
         want = compute_ssim(a[:, :, c], b[:, :, c], impl="xla")
         assert res.per_channel[c] == pytest.approx(want, abs=1e-9)
     assert res.average == pytest.approx(np.mean(res.per_channel), abs=1e-12)
+
+
+def test_grayscale_prints_channel_and_average(tmp_path, rng, capsys):
+    """1-channel images without -y/-# still go through the per-channel
+    loop: "Channel 0" + "Average" lines (src/ssim-cli.cpp:197-210)."""
+    a = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    b = np.clip(a.astype(np.int32) + rng.integers(-20, 20, a.shape), 0, 255).astype(np.uint8)
+    pa, pb = str(tmp_path / "ga.png"), str(tmp_path / "gb.png")
+    Image.fromarray(a).save(pa)
+    Image.fromarray(b).save(pb)
+    assert cli.main(["--impl=xla", pa, pb]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2
+    assert lines[0].startswith("Channel 0:")
+    assert lines[1].startswith("Average  :")
+    want = compute_ssim(a, b, impl="xla")
+    assert float(lines[0].split(":")[1]) == pytest.approx(want, abs=5e-5)
+
+
+def test_quantize_map_truncates_like_reference():
+    """u8 map export truncates (static_cast), never rounds
+    (src/ssim-cli.cpp:341-342)."""
+    from ssim_tpu.utils.imageio import quantize_map
+
+    m = np.array([-0.5, 0.0, 0.00392, 0.0039215, 0.9999, 1.0], np.float32)
+    q = quantize_map(m)
+    # 0.9999*255 = 254.97 -> 254 (rounding would give 255)
+    np.testing.assert_array_equal(q, [0, 0, 0, 0, 254, 255])
