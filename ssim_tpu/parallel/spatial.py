@@ -9,6 +9,19 @@ bottom) use clamp-to-edge replication exactly like the reference
 (src/ssim.cpp:560-582); interior shard boundaries use real neighbor rows,
 so the sharded result equals the single-device result bit-for-bit in
 structure (validated to tolerance in tests/test_distributed.py).
+
+Arbitrary geometry: heights that don't divide the mesh (or shards that
+would be thinner than the blur radius) are handled by internally padding
+the image with edge-replicated rows — replicated rows are numerically
+identical to the clamp-to-edge border rule, so the valid rows' values are
+unchanged and the pad rows are sliced off the outputs. This mirrors the
+reference's ragged-tile handling (partial tiles at the image edge,
+src/ssim.cpp:227-239) rather than refusing the geometry.
+
+Both compute paths participate: `impl="pallas"` feeds each shard's
+halo-extended row band straight into the fused Pallas kernel (the TPU
+analogue of the reference's tile grid x thread pool composition,
+src/ssim.cpp:902-926); `impl="xla"` uses the XLA formulation.
 """
 
 import functools
@@ -18,30 +31,44 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.ssim_xla import ssim_from_padded
+from ..dispatch import Implementation, backend_platform, select_impl
 from ..windows import RADIUS
 
 
 def _exchange_halos(x: jnp.ndarray, axis: str, n_shards: int, radius: int) -> jnp.ndarray:
     """Concatenate neighbor halo rows onto a row-sharded block.
 
-    x: (Hs, W) local rows. Returns (Hs + 2*radius, W): top halo from the
-    previous shard's bottom rows, bottom halo from the next shard's top
-    rows; image-edge shards replicate their own edge row (clamp-to-edge).
+    x: (..., Hs, W) local rows. Returns (..., Hs + 2*radius, W): top halo
+    from the previous shard's bottom rows, bottom halo from the next
+    shard's top rows; image-edge shards replicate their own edge row
+    (clamp-to-edge). Works for any dtype (u8 halos feed the fused kernel
+    directly) and any leading batch dims.
     """
     idx = jax.lax.axis_index(axis)
     # Bottom rows travel to the next shard (become its top halo) and vice
     # versa. ppermute with a full ring; edge results are overridden below.
     down = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     up = [(i, (i - 1) % n_shards) for i in range(n_shards)]
-    top_halo = jax.lax.ppermute(x[-radius:], axis, down)
-    bot_halo = jax.lax.ppermute(x[:radius], axis, up)
+    top_halo = jax.lax.ppermute(x[..., -radius:, :], axis, down)
+    bot_halo = jax.lax.ppermute(x[..., :radius, :], axis, up)
     # Clamp-to-edge at the true image borders (reference src/ssim.cpp:560-582).
-    edge_top = jnp.broadcast_to(x[0:1], (radius, x.shape[1]))
-    edge_bot = jnp.broadcast_to(x[-1:], (radius, x.shape[1]))
+    shape = x.shape[:-2] + (radius, x.shape[-1])
+    edge_top = jnp.broadcast_to(x[..., 0:1, :], shape)
+    edge_bot = jnp.broadcast_to(x[..., -1:, :], shape)
     top_halo = jnp.where(idx == 0, edge_top, top_halo)
     bot_halo = jnp.where(idx == n_shards - 1, edge_bot, bot_halo)
-    return jnp.concatenate([top_halo, x, bot_halo], axis=0)
+    return jnp.concatenate([top_halo, x, bot_halo], axis=-2)
+
+
+def _pad_rows_to(x: jnp.ndarray, h_pad: int) -> jnp.ndarray:
+    """Edge-replicate bottom rows up to h_pad. Replicated rows are exactly
+    what the clamp-to-edge border rule reads, so padding then slicing the
+    outputs leaves the valid rows' SSIM values unchanged."""
+    h = x.shape[-2]
+    if h_pad == h:
+        return x
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, h_pad - h), (0, 0)]
+    return jnp.pad(x, pad, mode="edge")
 
 
 def ssim_spatial_sharded(
@@ -53,45 +80,83 @@ def ssim_spatial_sharded(
     with_map: bool = False,
     data_range: float = 255.0,
     radius: int = RADIUS,
+    impl="auto",
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """SSIM of one (H, W) pair with rows sharded over `axis`.
 
-    H must be divisible by the axis size. Returns (row_sums (H,) f32,
-    map (H, W) f32 or None), row-sharded over the mesh.
+    Any H >= 1 works: if H doesn't divide the axis size (or shards would
+    be thinner than the blur radius), the image is internally padded with
+    edge-replicated rows and the outputs are sliced back. Returns
+    (row_sums (H,) f32, map (H, W) f32 or None), row-sharded over the mesh.
+
+    impl: "auto" (fused Pallas kernel for u8 inputs at the default radius,
+    XLA otherwise), "pallas", or "xla".
     """
     n_shards = mesh.shape[axis]
-    if a.shape[0] % n_shards != 0:
-        raise ValueError(
-            f"image height {a.shape[0]} must be divisible by the '{axis}' "
-            f"mesh axis size {n_shards} (pad the image or choose a mesh "
-            f"that divides it)"
-        )
-    if a.shape[0] // n_shards < radius:
-        raise ValueError(
-            f"shard height {a.shape[0] // n_shards} is smaller than the "
-            f"blur radius {radius}; use fewer shards"
-        )
+    h, w = a.shape[-2], a.shape[-1]
+    impl = select_impl("auto" if impl is None else impl)
+    # The fused kernel is u8-only at the default radius (reference
+    # README.md:107-111); other inputs take the XLA path (same gate as
+    # engine.compute).
+    use_pallas = (
+        impl == Implementation.PALLAS
+        and a.dtype == jnp.uint8
+        and b.dtype == jnp.uint8
+        and radius == RADIUS
+    )
+
+    # Internal padded height: every shard at least `radius` rows tall so
+    # one-neighbor halo exchange suffices.
+    shard_h = max(-(-h // n_shards), radius)
+    h_pad = shard_h * n_shards
+    a = _pad_rows_to(jnp.asarray(a), h_pad)
+    b = _pad_rows_to(jnp.asarray(b), h_pad)
+
+    if use_pallas:
+        from ..ops.ssim_pallas import ssim_parts_pallas
+
+        interpret = backend_platform() != "tpu"
+
+        def shard_body(a_s, b_s):
+            # Halo-extend the raw u8 rows over ICI, then run the fused
+            # kernel on the extended band; its own clamp-to-edge border
+            # handling only ever triggers inside the discarded halo rows.
+            ae = _exchange_halos(a_s, axis, n_shards, radius)
+            be = _exchange_halos(b_s, axis, n_shards, radius)
+            _, ssim_map = ssim_parts_pallas(
+                ae, be, with_map=True, data_range=data_range,
+                interpret=interpret,
+            )
+            valid = ssim_map[radius : radius + shard_h, :]
+            return jnp.sum(valid, axis=-1), valid
+    else:
+        from ..ops.ssim_xla import ssim_from_padded
+
+        def shard_body(a_s, b_s):
+            af = a_s.astype(jnp.float32)
+            bf = b_s.astype(jnp.float32)
+            # Vertical halos over ICI; horizontal borders are local edge pads.
+            ap = _exchange_halos(af, axis, n_shards, radius)
+            bp = _exchange_halos(bf, axis, n_shards, radius)
+            ap = jnp.pad(ap, ((0, 0), (radius, radius)), mode="edge")
+            bp = jnp.pad(bp, ((0, 0), (radius, radius)), mode="edge")
+            return ssim_from_padded(
+                ap, bp, with_map=with_map, radius=radius, data_range=data_range
+            )
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(axis, None), P(axis, None)),
-        out_specs=(P(axis), P(axis, None)) if with_map else (P(axis), P()),
+        out_specs=(P(axis), P(axis, None)) if (with_map or use_pallas) else (P(axis), P()),
+        check_vma=False,  # pallas_call outputs carry no vma metadata
     )
     def shard_fn(a_s, b_s):
-        af = a_s.astype(jnp.float32)
-        bf = b_s.astype(jnp.float32)
-        # Vertical halos over ICI; horizontal borders are local edge pads.
-        ap = _exchange_halos(af, axis, n_shards, radius)
-        bp = _exchange_halos(bf, axis, n_shards, radius)
-        ap = jnp.pad(ap, ((0, 0), (radius, radius)), mode="edge")
-        bp = jnp.pad(bp, ((0, 0), (radius, radius)), mode="edge")
-        row_sums, ssim_map = ssim_from_padded(
-            ap, bp, with_map=with_map, radius=radius, data_range=data_range
-        )
-        if not with_map:
+        row_sums, ssim_map = shard_body(a_s, b_s)
+        if ssim_map is None:
             return row_sums, jnp.zeros((), jnp.float32)
         return row_sums, ssim_map
 
     row_sums, ssim_map = shard_fn(a, b)
-    return row_sums, (ssim_map if with_map else None)
+    row_sums = row_sums[:h]
+    return row_sums, (ssim_map[:h] if with_map else None)
