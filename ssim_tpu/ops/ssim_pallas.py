@@ -31,10 +31,11 @@ sum_tile) and all of its per-ISA SIMD backends. TPU-first design:
 - Images wider than one tile use _chunked_overlap_call: the same design
   generalized to lane chunks over an aligned padded layout produced by
   the DMA pad kernel (ops/pad.py).
-- Measured on v5e: ~10-12 Gpix/s at 1080p-4K with or without map (43-52x
-  the reference's best full-machine CPU number; the RPC-attached chip
-  adds ~±10% run-to-run variance), ~9.5 at 8K; max global error vs the
-  f64 oracle ~2e-8.
+- Measured on v5e: ~10.4-11.0 Gpix/s at 1080p-8K with or without map
+  (45-47x the reference's best full-machine CPU number; the RPC-attached
+  chip adds ~±3% run-to-run variance even with on-device-loop timing);
+  max global error vs the f64 oracle ~5e-9, max per-pixel ~1.3e-6 —
+  inside the reference's double-build tolerance tier.
 - Per-pixel SSIM (sum_tile equivalent, src/ssim.cpp:590-704) is evaluated
   in f32; per-tile partial sums (masked to the valid image region) land in
   SMEM and are finalized in f64 on the host, honoring the reference's
@@ -271,9 +272,27 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
     return tile_sums.reshape(batch, nh), ssim_map
 
 
-#: Lane-chunk width of the wide-image path. 2048 keeps the VMEM working
-#: set small while amortizing the 256-lane halo concat (12.5%).
-CHUNK_W = 2048
+#: Max lane-chunk width of the wide-image path (VMEM-bound; 4096 fits at
+#: tile_h 32 on v5e).
+MAX_CHUNK_W = 4096
+
+
+def _pick_chunk_w(w: int, max_chunk: int = MAX_CHUNK_W) -> int:
+    """Chunk width minimizing total computed lanes nc*(cw + 256): the
+    256-lane halo concat argues for wide chunks, ragged last-chunk waste
+    for chunks that divide the width. Measured on v5e at 8K: 3840 (exact
+    2-chunk cover) runs 11.0 Gpix/s vs 9.8 for the fixed 2048/4096.
+    """
+    best_cw, best_cost = None, None
+    nc_min = -(-w // max_chunk)
+    for nc in range(nc_min, nc_min + 4):
+        cw = _round_up(-(-w // nc), 128)
+        if cw > max_chunk:
+            continue
+        cost = nc * (cw + 2 * COL_OVERLAP)
+        if best_cost is None or cost < best_cost:
+            best_cw, best_cost = cw, cost
+    return best_cw
 
 
 def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h):
@@ -291,15 +310,16 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
     batch = a.shape[0]
     tile_h = max(32, min(max_tile_h, 256) // 32 * 32)
     nh = -(-h // tile_h)
-    nc = -(-w // CHUNK_W)
+    chunk_w = _pick_chunk_w(w)
+    nc = -(-w // chunk_w)
     hp = (nh + 1) * tile_h  # junk row block for the row-neighbor spec
-    wp = (nc + 1) * CHUNK_W  # junk lane chunk for the lane-neighbor spec
+    wp = (nc + 1) * chunk_w  # junk lane chunk for the lane-neighbor spec
     band = tile_h + 16
     vmat = jnp.asarray(
         vertical_band_matrix(tile_h, band, taps, shift=ROW_OFF - r)
     )
     t = [float(v) for v in taps]
-    hpass = _make_hpass(t, r, CHUNK_W, co=COL_OFF)
+    hpass = _make_hpass(t, r, chunk_w, co=COL_OFF)
 
     def kernel(vm_ref, a00, a01, a10, a11, b00, b01, b10, b11, *out_refs):
         i = pl.program_id(1)
@@ -344,7 +364,7 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
         else:
             (sum_ref,) = out_refs
         partial_rows = h % tile_h != 0
-        partial_cols = w % CHUNK_W != 0
+        partial_cols = w % chunk_w != 0
         if not partial_rows and not partial_cols:
             sum_ref[0, 0, 0, 0, 0] = jnp.sum(ssim)
         else:
@@ -356,9 +376,9 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
             is_edge = conds[0] if len(conds) == 1 else jnp.logical_or(*conds)
 
             def masked_sum():
-                rid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, CHUNK_W), 0)
-                cid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, CHUNK_W), 1)
-                mask = (rid < h - i * tile_h) & (cid < w - c * CHUNK_W)
+                rid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, chunk_w), 0)
+                cid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, chunk_w), 1)
+                mask = (rid < h - i * tile_h) & (cid < w - c * chunk_w)
                 return jnp.sum(jnp.where(mask, ssim, 0.0))
 
             sum_ref[0, 0, 0, 0, 0] = jax.lax.cond(
@@ -370,7 +390,7 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
 
     def spec(di, dc):
         return pl.BlockSpec(
-            (1, tile_h, CHUNK_W),
+            (1, tile_h, chunk_w),
             lambda bi, i, c: (bi, i + di, c + dc),
             memory_space=pltpu.VMEM,
         )
@@ -382,10 +402,10 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
     out_specs = []
     if with_map:
         out_shapes.append(
-            jax.ShapeDtypeStruct((batch, nh * tile_h, nc * CHUNK_W), jnp.float32)
+            jax.ShapeDtypeStruct((batch, nh * tile_h, nc * chunk_w), jnp.float32)
         )
         out_specs.append(
-            pl.BlockSpec((1, tile_h, CHUNK_W), lambda bi, i, c: (bi, i, c),
+            pl.BlockSpec((1, tile_h, chunk_w), lambda bi, i, c: (bi, i, c),
                          memory_space=pltpu.VMEM)
         )
     out_shapes.append(jax.ShapeDtypeStruct((batch, nh, nc, 1, 1), jnp.float32))
