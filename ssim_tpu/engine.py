@@ -67,8 +67,11 @@ def compute(
     a, b: (H, W) or (B, H, W) uint8-like arrays.
     precision: "f32" (reference default Float) or "f64" (the reference's
     RMGR_SSIM_USE_DOUBLE build, src/ssim_internal.h:26-37). TPUs have no
-    fast f64, so f64 runs on the host NumPy path — precision parity, not
-    a TPU path.
+    hardware f64, so the f64 mode is TPU-native compensated double-float:
+    the fused kernel evaluates the SSIM formula and all reductions in
+    df32 (ssim_parts_pallas(precise=True)), measured 2+ orders of
+    magnitude inside the reference double build's error tier; non-u8
+    inputs or non-Pallas impls fall back to the host NumPy f64 oracle.
     Returns (global_ssim float64 scalar or (B,), map f32 or None).
     """
     from .config import get_config
@@ -83,10 +86,15 @@ def compute(
     validate_pair(a, b)
     if precision not in ("f32", "f64"):
         raise InvalidArgumentError(f"precision must be f32 or f64, got {precision!r}")
-    if precision == "f64":
+    impl = select_impl(impl)
+    precise = precision == "f64"
+    if precise and not (
+        impl == Implementation.PALLAS and a.dtype == np.uint8 and b.dtype == np.uint8
+    ):
+        # The TPU-native double mode lives in the fused kernel (compensated
+        # df32, ssim_parts_pallas(precise=True)); every other combination
+        # gets the NumPy f64 oracle.
         impl = Implementation.REFERENCE
-    else:
-        impl = select_impl(impl)
     h, w = a.shape[-2], a.shape[-1]
 
     if impl == Implementation.REFERENCE:
@@ -125,6 +133,7 @@ def compute(
             with_map=with_map,
             data_range=data_range,
             interpret=backend_platform() != "tpu",
+            precise=precise,
             **tile_kwargs,
         )
     else:

@@ -126,6 +126,141 @@ def _ssim_from_blurs(mu_a, mu_b, s_ss, s_dd, c1, c2):
     return num / den
 
 
+# ---------------------------------------------------------------------------
+# Double-float (df32) arithmetic for the high-precision mode.
+#
+# The reference's RMGR_SSIM_USE_DOUBLE build recompiles every kernel with
+# Float=double (src/ssim_internal.h:26-37). TPUs have no hardware f64, so
+# the TPU-native equivalent keeps each value as an unevaluated pair of
+# f32s (hi, lo) — classic Dekker/Knuth error-free transformations, which
+# XLA/Mosaic preserve (no unsafe float reassociation). Error attribution
+# (docs/RESULTS.md) shows the f32 SSIM *formula* dominates the error
+# (~1.8e-6 per pixel, catastrophic cancellation in the sigma terms) while
+# the MXU-HIGHEST blurs contribute only ~1.1e-7 — so the precision mode
+# compensates the formula and the reductions, leaving the blurs f32.
+# ---------------------------------------------------------------------------
+
+
+def _two_sum(a, b):
+    """Error-free a+b -> (s, e) with s+e == a+b exactly (Knuth)."""
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _quick_two_sum(a, b):
+    """Error-free a+b assuming |a| >= |b| (Dekker)."""
+    s = a + b
+    return s, b - (s - a)
+
+
+def _veltkamp_split(a):
+    """a == hi + lo with hi carrying the top 12 mantissa bits."""
+    c = a * 4097.0  # 2**12 + 1
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    """Error-free a*b -> (p, e) with p+e == a*b exactly (Dekker, no FMA)."""
+    p = a * b
+    ah, al = _veltkamp_split(a)
+    bh, bl = _veltkamp_split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def _df_add(x, y):
+    s, e = _two_sum(x[0], y[0])
+    return _quick_two_sum(s, e + x[1] + y[1])
+
+
+def _df_neg(x):
+    return (-x[0], -x[1])
+
+
+def _df_scale_pow2(x, k: float):
+    """Exact scaling by a power of two."""
+    return (x[0] * k, x[1] * k)
+
+
+def _df_mul(x, y):
+    p, e = _two_prod(x[0], y[0])
+    return _quick_two_sum(p, e + x[0] * y[1] + x[1] * y[0])
+
+
+def _df_div(x, y):
+    """df/df with one Newton correction (~2 ulp of df32)."""
+    q1 = x[0] / y[0]
+    p, e = _two_prod(q1, y[0])
+    s, f = _two_sum(x[0], -p)
+    r = (s + ((f - e) + x[1])) - q1 * y[1]
+    return _quick_two_sum(q1, r / y[0])
+
+
+def _df_sum_2d(hi, lo):
+    """Compensated pairwise reduction of a 2-D df32 array to a scalar df32
+    pair. Plain f32 tree summation of ~1e5 near-unit values loses ~3e-7
+    of the mean (measured); this halving df32 tree keeps the compensation
+    at ~11 extra element-ops per pixel."""
+    th, w = hi.shape
+
+    def pow2_pad(x, axis):
+        n = x.shape[axis]
+        m = 1 << (n - 1).bit_length()
+        if m == n:
+            return x
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (0, m - n)
+        return jnp.pad(x, pad)
+
+    x = (pow2_pad(hi, 1), pow2_pad(lo, 1))
+    m = x[0].shape[1]
+    while m > 1:
+        m //= 2
+        x = _df_add(
+            (x[0][:, :m], x[1][:, :m]), (x[0][:, m:], x[1][:, m:])
+        )
+    x = (pow2_pad(x[0], 0), pow2_pad(x[1], 0))
+    t = x[0].shape[0]
+    while t > 1:
+        t //= 2
+        x = _df_add((x[0][:t], x[1][:t]), (x[0][t:], x[1][t:]))
+    return x[0][0, 0], x[1][0, 0]
+
+
+def _df_const(v: float):
+    """A Python float as a df32 constant pair."""
+    hi = np.float32(v)
+    return (float(hi), float(np.float32(v - float(hi))))
+
+
+def _ssim_from_blurs_df32(mu_a, mu_b, s_ss, s_dd, c1: float, c2: float):
+    """Compensated SSIM formula: same algebra as _ssim_from_blurs but in
+    df32, eliminating the f32 cancellation error in the sigma terms (the
+    dominant error term; measured ~1.8e-6 -> ~1e-7 per pixel). Inputs are
+    the plain-f32 blurred signals; returns (hi, lo) per-pixel SSIM."""
+    c1 = _df_const(c1)
+    c2 = _df_const(c2)
+    mu_ab = _two_prod(mu_a, mu_b)
+    mu_a2 = _two_prod(mu_a, mu_a)
+    mu_b2 = _two_prod(mu_b, mu_b)
+    msum = _df_add(mu_a2, mu_b2)
+    # 4*sigma_ab   = (s_ss - s_dd) - 4*mu_a*mu_b
+    sig_ab4 = _df_add(_two_sum(s_ss, -s_dd), _df_neg(_df_scale_pow2(mu_ab, 4.0)))
+    # 2*(sa2+sb2)  = (s_ss + s_dd) - 2*(mu_a^2 + mu_b^2)
+    sig_sum2 = _df_add(_two_sum(s_ss, s_dd), _df_neg(_df_scale_pow2(msum, 2.0)))
+    num = _df_mul(
+        _df_add(_df_scale_pow2(mu_ab, 2.0), c1),
+        _df_add(_df_scale_pow2(sig_ab4, 0.5), c2),
+    )
+    den = _df_mul(
+        _df_add(msum, c1),
+        _df_add(_df_scale_pow2(sig_sum2, 0.5), c2),
+    )
+    return _df_div(num, den)
+
+
 def clamped_band_matrices(tile_h: int, band: int, taps: np.ndarray,
                           h: int, nh: int) -> np.ndarray:
     """Per-row-tile vertical blur matrices with the clamp-to-edge border
@@ -153,7 +288,8 @@ def clamped_band_matrices(tile_h: int, band: int, taps: np.ndarray,
     return v
 
 
-def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h):
+def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h,
+                        precise=False):
     """Zero-copy fast path: the RAW (B, H, W) images are consumed directly
     by the kernel — no padding pass at all. Each instance reads three
     row blocks per image (prev/cur/next via clamped index maps; ragged
@@ -198,30 +334,56 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-        ssim = _ssim_from_blurs(
+        blurs = (
             hpass(vpass(af)),
             hpass(vpass(bf)),
             hpass(vpass(s * s)),
             hpass(vpass(d * d)),
-            c1,
-            c2,
         )
+        if precise:
+            ssim, ssim_lo = _ssim_from_blurs_df32(*blurs, c1, c2)
+        else:
+            ssim = _ssim_from_blurs(*blurs, c1, c2)
+            ssim_lo = None
 
         if with_map:
             map_ref, sum_ref = out_refs
             map_ref[0] = ssim
         else:
             (sum_ref,) = out_refs
-        if h % tile_h == 0:
-            sum_ref[0, 0, 0, 0] = jnp.sum(ssim)
-        else:
-            def masked_sum():
-                rid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 0)
-                return jnp.sum(jnp.where(rid < h - i * tile_h, ssim, 0.0))
 
-            sum_ref[0, 0, 0, 0] = jax.lax.cond(
-                i == nh - 1, masked_sum, lambda: jnp.sum(ssim)
-            )
+        def mask_last_rows(x):
+            rid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 0)
+            return jnp.where(rid < h - i * tile_h, x, 0.0)
+
+        if precise:
+            # Compensated reduction; the lo-sum rides as an extra partial
+            # and the host finalize f64-sums all partials, recovering
+            # both the formula and the summation compensation.
+            def df_sums(m):
+                return _df_sum_2d(m(ssim), m(ssim_lo))
+
+            if h % tile_h == 0:
+                hi_s, lo_s = df_sums(lambda x: x)
+            else:
+                hi_s, lo_s = jax.lax.cond(
+                    i == nh - 1,
+                    lambda: df_sums(mask_last_rows),
+                    lambda: df_sums(lambda x: x),
+                )
+            sum_ref[0, 0, 0, 0] = hi_s
+            sum_ref[0, 0, 0, 1] = lo_s
+        else:
+            def tile_sums(x):
+                if h % tile_h == 0:
+                    return jnp.sum(x)
+                return jax.lax.cond(
+                    i == nh - 1,
+                    lambda: jnp.sum(mask_last_rows(x)),
+                    lambda: jnp.sum(x),
+                )
+
+            sum_ref[0, 0, 0, 0] = tile_sums(ssim)
 
     def spec(di):
         if di < 0:
@@ -245,9 +407,10 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
             pl.BlockSpec((1, tile_h, w), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM)
         )
-    out_shapes.append(jax.ShapeDtypeStruct((batch, nh, 1, 1), jnp.float32))
+    n_sums = 2 if precise else 1
+    out_shapes.append(jax.ShapeDtypeStruct((batch, nh, 1, n_sums), jnp.float32))
     out_specs.append(
-        pl.BlockSpec((1, 1, 1, 1), lambda bi, i: (bi, i, 0, 0),
+        pl.BlockSpec((1, 1, 1, n_sums), lambda bi, i: (bi, i, 0, 0),
                      memory_space=pltpu.SMEM)
     )
 
@@ -269,7 +432,7 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
     else:
         (tile_sums,) = outs
         ssim_map = None
-    return tile_sums.reshape(batch, nh), ssim_map
+    return tile_sums.reshape(batch, nh * n_sums), ssim_map
 
 
 #: Max lane-chunk width of the wide-image path (VMEM-bound; 4096 fits at
@@ -295,7 +458,8 @@ def _pick_chunk_w(w: int, max_chunk: int = MAX_CHUNK_W) -> int:
     return best_cw
 
 
-def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h):
+def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h,
+                          precise=False):
     """Wide-image path (w beyond one tile): the overlap design generalized
     to a 2-D grid of lane chunks — each kernel instance reads FOUR blocks
     per image (row-neighbor x lane-neighbor of the same padded array) and
@@ -349,41 +513,68 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-        ssim = _ssim_from_blurs(
+        blurs = (
             hpass(vpass(af)),
             hpass(vpass(bf)),
             hpass(vpass(s * s)),
             hpass(vpass(d * d)),
-            c1,
-            c2,
         )
+        if precise:
+            ssim, ssim_lo = _ssim_from_blurs_df32(*blurs, c1, c2)
+        else:
+            ssim = _ssim_from_blurs(*blurs, c1, c2)
+            ssim_lo = None
 
         if with_map:
             map_ref, sum_ref = out_refs
             map_ref[0] = ssim
         else:
             (sum_ref,) = out_refs
+
         partial_rows = h % tile_h != 0
         partial_cols = w % chunk_w != 0
-        if not partial_rows and not partial_cols:
-            sum_ref[0, 0, 0, 0, 0] = jnp.sum(ssim)
-        else:
+
+        def edge_cond():
             conds = []
             if partial_rows:
                 conds.append(i == nh - 1)
             if partial_cols:
                 conds.append(c == nc - 1)
-            is_edge = conds[0] if len(conds) == 1 else jnp.logical_or(*conds)
+            return conds[0] if len(conds) == 1 else jnp.logical_or(*conds)
 
-            def masked_sum():
-                rid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, chunk_w), 0)
-                cid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, chunk_w), 1)
-                mask = (rid < h - i * tile_h) & (cid < w - c * chunk_w)
-                return jnp.sum(jnp.where(mask, ssim, 0.0))
+        def mask_edges(x):
+            rid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, chunk_w), 0)
+            cid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, chunk_w), 1)
+            mask = (rid < h - i * tile_h) & (cid < w - c * chunk_w)
+            return jnp.where(mask, x, 0.0)
 
-            sum_ref[0, 0, 0, 0, 0] = jax.lax.cond(
-                is_edge, masked_sum, lambda: jnp.sum(ssim)
-            )
+        if precise:
+            # Compensated reduction; lo-sums ride as extra partials for
+            # the host f64 finalize.
+            def df_sums(m):
+                return _df_sum_2d(m(ssim), m(ssim_lo))
+
+            if not partial_rows and not partial_cols:
+                hi_s, lo_s = df_sums(lambda x: x)
+            else:
+                hi_s, lo_s = jax.lax.cond(
+                    edge_cond(),
+                    lambda: df_sums(mask_edges),
+                    lambda: df_sums(lambda x: x),
+                )
+            sum_ref[0, 0, 0, 0, 0] = hi_s
+            sum_ref[0, 0, 0, 0, 1] = lo_s
+        else:
+            def tile_sums(x):
+                if not partial_rows and not partial_cols:
+                    return jnp.sum(x)
+                return jax.lax.cond(
+                    edge_cond(),
+                    lambda: jnp.sum(mask_edges(x)),
+                    lambda: jnp.sum(x),
+                )
+
+            sum_ref[0, 0, 0, 0, 0] = tile_sums(ssim)
 
     pa = pad_align(a, hp, wp, tile_h, interpret=interpret)
     pb = pad_align(b, hp, wp, tile_h, interpret=interpret)
@@ -408,9 +599,10 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
             pl.BlockSpec((1, tile_h, chunk_w), lambda bi, i, c: (bi, i, c),
                          memory_space=pltpu.VMEM)
         )
-    out_shapes.append(jax.ShapeDtypeStruct((batch, nh, nc, 1, 1), jnp.float32))
+    n_sums = 2 if precise else 1
+    out_shapes.append(jax.ShapeDtypeStruct((batch, nh, nc, 1, n_sums), jnp.float32))
     out_specs.append(
-        pl.BlockSpec((1, 1, 1, 1, 1), lambda bi, i, c: (bi, i, c, 0, 0),
+        pl.BlockSpec((1, 1, 1, 1, n_sums), lambda bi, i, c: (bi, i, c, 0, 0),
                      memory_space=pltpu.SMEM)
     )
 
@@ -432,14 +624,14 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
     else:
         (tile_sums,) = outs
         ssim_map = None
-    return tile_sums.reshape(batch, nh * nc), ssim_map
+    return tile_sums.reshape(batch, nh * nc * n_sums), ssim_map
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "with_map", "radius", "sigma", "data_range", "interpret",
-        "max_tile_h", "max_tile_w",
+        "max_tile_h", "max_tile_w", "precise",
     ),
 )
 def ssim_parts_pallas(
@@ -453,12 +645,21 @@ def ssim_parts_pallas(
     interpret: bool = False,
     max_tile_h: int = TILE_H,
     max_tile_w: int = TILE_W,
+    precise: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Fused-kernel SSIM. a, b: (H, W) or (B, H, W), uint8 (or castable).
 
-    Returns (partials, map or None): partials is (..., nh*nw) f32 per-tile
+    Returns (partials, map or None): partials is (..., K) f32 per-tile
     sums of per-pixel SSIM over valid pixels (finalize with
-    engine.finalize_mean); map is (..., H, W) f32.
+    engine.finalize_mean; K doubles in precise mode, where each tile also
+    emits its df32 compensation sum); map is (..., H, W) f32.
+
+    precise=True is the TPU-native analogue of the reference's
+    RMGR_SSIM_USE_DOUBLE build (src/ssim_internal.h:26-37): the SSIM
+    formula and reductions run in compensated double-float arithmetic
+    (see _ssim_from_blurs_df32). Measured vs the f64 oracle it beats the
+    reference's double-build error tier (README.md:92) by ~2 orders of
+    magnitude at roughly half the f32-mode throughput.
     """
     if radius != RADIUS:
         raise ValueError("the fused kernel is specialized to radius 5, like the "
@@ -490,11 +691,13 @@ def ssim_parts_pallas(
     # chunked path (four BlockSpecs per image: row x lane neighbors).
     if _round_up(w + 2 * radius, 128) <= max_tile_w + COL_OVERLAP:
         partials, ssim_map = _nopad_overlap_call(
-            a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h
+            a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h,
+            precise=precise,
         )
     else:
         partials, ssim_map = _chunked_overlap_call(
-            a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h
+            a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h,
+            precise=precise,
         )
     if squeeze:
         partials = partials[0]
