@@ -57,25 +57,65 @@ def _downsample2(x):
     return x.reshape(shape).mean(axis=(-3, -1))
 
 
-@functools.partial(jax.jit, static_argnames=("data_range", "weights"))
-def ms_ssim(
-    a: jnp.ndarray,
-    b: jnp.ndarray,
-    *,
-    data_range: float = 255.0,
-    weights: Tuple[float, ...] = MS_SSIM_WEIGHTS,
-) -> jnp.ndarray:
-    """Jittable MS-SSIM. a, b: (..., H, W); needs min(H, W) >= 11 * 2^(L-1).
-
-    Returns scalar for 2-D inputs, (B,) for batched. Differentiable.
-    """
-    levels = len(weights)
+def _check_levels(a, levels):
     min_side = min(a.shape[-1], a.shape[-2])
     if min_side < (2 * RADIUS + 1) * 2 ** (levels - 1):
         raise ValueError(
             f"image side {min_side} too small for {levels} scales; "
             f"needs >= {(2 * RADIUS + 1) * 2 ** (levels - 1)} (pass fewer weights)"
         )
+
+
+@functools.partial(jax.jit, static_argnames=("data_range", "weights", "impl"))
+def ms_ssim(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    data_range: float = 255.0,
+    weights: Tuple[float, ...] = MS_SSIM_WEIGHTS,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Jittable MS-SSIM. a, b: (..., H, W); needs min(H, W) >= 11 * 2^(L-1).
+
+    Returns scalar for 2-D inputs, (B,) for batched.
+
+    impl: "auto" (the fused components-mode Pallas kernel on TPU — the
+    pure-XLA formulation takes ~160 s/shape to *compile* there — and XLA
+    elsewhere), "pallas", or "xla". The XLA path is differentiable; the
+    Pallas path is forward-only.
+    """
+    from ..dispatch import Implementation, backend_platform, select_impl
+
+    levels = len(weights)
+    _check_levels(a, levels)
+
+    resolved = select_impl(impl)
+    use_pallas = resolved == Implementation.PALLAS and a.dtype in (
+        jnp.uint8, jnp.float32
+    )
+
+    if use_pallas:
+        from ..ops.ssim_pallas import ssim_components_pallas
+
+        interpret = backend_platform() != "tpu"
+        x_a, x_b = a, b
+        result = None
+        for lvl, w in enumerate(weights):
+            parts = ssim_components_pallas(
+                x_a, x_b, data_range=data_range, interpret=interpret
+            )
+            n = x_a.shape[-2] * x_a.shape[-1]
+            sums = jnp.sum(parts, axis=-2) / n  # (..., 2): [mean_cs, mean_ssim]
+            if lvl == levels - 1:
+                # Coarsest scale uses the full SSIM mean (Wang 2003 eq. 7).
+                term = jnp.maximum(sums[..., 1], 1e-6) ** w
+            else:
+                term = jnp.maximum(sums[..., 0], 1e-6) ** w
+                x_a = _downsample2(x_a.astype(jnp.float32))
+                x_b = _downsample2(x_b.astype(jnp.float32))
+            result = term if result is None else result * term
+        return result
+
     taps = gaussian_taps(np.float32, RADIUS, SIGMA)
     c1 = jnp.float32((0.01 * data_range) ** 2)
     c2 = jnp.float32((0.03 * data_range) ** 2)
@@ -100,9 +140,10 @@ def ms_ssim(
 
 
 def compute_ms_ssim(a, b, *, data_range: float = 255.0,
-                    weights: Sequence[float] = MS_SSIM_WEIGHTS) -> float:
+                    weights: Sequence[float] = MS_SSIM_WEIGHTS,
+                    impl: str = "auto") -> float:
     """Eager convenience wrapper (host arrays in, float out)."""
     res = ms_ssim(jnp.asarray(np.asarray(a)), jnp.asarray(np.asarray(b)),
-                  data_range=data_range, weights=tuple(weights))
+                  data_range=data_range, weights=tuple(weights), impl=impl)
     out = np.asarray(res)
     return float(out) if out.ndim == 0 else out

@@ -126,6 +126,19 @@ def _ssim_from_blurs(mu_a, mu_b, s_ss, s_dd, c1, c2):
     return num / den
 
 
+def _l_cs_from_blurs(mu_a, mu_b, s_ss, s_dd, c1, c2):
+    """Luminance and contrast-structure factors of the SSIM formula
+    (MS-SSIM components; Wang et al. 2003 eq. 6-7)."""
+    mu_a2 = mu_a * mu_a
+    mu_b2 = mu_b * mu_b
+    mu_ab = mu_a * mu_b
+    sigma_ab_x4 = (s_ss - s_dd) - 4.0 * mu_ab
+    sigma_sum_x2 = (s_ss + s_dd) - 2.0 * (mu_a2 + mu_b2)
+    lum = (2.0 * mu_ab + c1) / (mu_a2 + mu_b2 + c1)
+    cs = (0.5 * sigma_ab_x4 + c2) / (0.5 * sigma_sum_x2 + c2)
+    return lum, cs
+
+
 # ---------------------------------------------------------------------------
 # Double-float (df32) arithmetic for the high-precision mode.
 #
@@ -289,7 +302,7 @@ def clamped_band_matrices(tile_h: int, band: int, taps: np.ndarray,
 
 
 def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h,
-                        precise=False):
+                        precise=False, components=False):
     """Zero-copy fast path: the RAW (B, H, W) images are consumed directly
     by the kernel — no padding pass at all. Each instance reads three
     row blocks per image (prev/cur/next via clamped index maps; ragged
@@ -315,7 +328,15 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
         def band_of(prev_ref, cur_ref, nxt_ref):
             raw = jnp.concatenate(
                 [prev_ref[0, tile_h - 8 :], cur_ref[0], nxt_ref[0, :8]], axis=0
-            ).astype(jnp.int32).astype(jnp.float32)
+            )
+            if raw.dtype == jnp.uint8:
+                raw = raw.astype(jnp.int32).astype(jnp.float32)
+            else:
+                # Float inputs (MS-SSIM pyramid scales): ragged edge
+                # blocks carry uninitialized garbage that can be NaN/inf,
+                # which the band matrices' zero weights cannot neutralize
+                # (0*NaN = NaN). u8 garbage is always finite.
+                raw = jnp.nan_to_num(raw.astype(jnp.float32))
             # In-VMEM clamp-to-edge lane halo (reference border rule,
             # src/ssim.cpp:540-555).
             left = jnp.broadcast_to(raw[:, :1], (band, r))
@@ -342,6 +363,10 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
         )
         if precise:
             ssim, ssim_lo = _ssim_from_blurs_df32(*blurs, c1, c2)
+        elif components:
+            lum, cs = _l_cs_from_blurs(*blurs, c1, c2)
+            ssim = lum * cs
+            ssim_lo = None
         else:
             ssim = _ssim_from_blurs(*blurs, c1, c2)
             ssim_lo = None
@@ -383,7 +408,12 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
                     lambda: jnp.sum(x),
                 )
 
-            sum_ref[0, 0, 0, 0] = tile_sums(ssim)
+            if components:
+                # MS-SSIM components: [cs-sum, ssim-sum] per tile.
+                sum_ref[0, 0, 0, 0] = tile_sums(cs)
+                sum_ref[0, 0, 0, 1] = tile_sums(ssim)
+            else:
+                sum_ref[0, 0, 0, 0] = tile_sums(ssim)
 
     def spec(di):
         if di < 0:
@@ -407,7 +437,7 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
             pl.BlockSpec((1, tile_h, w), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM)
         )
-    n_sums = 2 if precise else 1
+    n_sums = 2 if (precise or components) else 1
     out_shapes.append(jax.ShapeDtypeStruct((batch, nh, 1, n_sums), jnp.float32))
     out_specs.append(
         pl.BlockSpec((1, 1, 1, n_sums), lambda bi, i: (bi, i, 0, 0),
@@ -459,7 +489,7 @@ def _pick_chunk_w(w: int, max_chunk: int = MAX_CHUNK_W) -> int:
 
 
 def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h,
-                          precise=False):
+                          precise=False, components=False):
     """Wide-image path (w beyond one tile): the overlap design generalized
     to a 2-D grid of lane chunks — each kernel instance reads FOUR blocks
     per image (row-neighbor x lane-neighbor of the same padded array) and
@@ -495,11 +525,10 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
             hi = jnp.concatenate(
                 [hi_cur[0][:16], hi_next[0][:16, :256]], axis=1
             )
-            return (
-                jnp.concatenate([lo, hi], axis=0)
-                .astype(jnp.int32)
-                .astype(jnp.float32)
-            )
+            raw = jnp.concatenate([lo, hi], axis=0)
+            if raw.dtype == jnp.uint8:
+                raw = raw.astype(jnp.int32)
+            return raw.astype(jnp.float32)
 
         af = band_of(a00, a01, a10, a11)
         bf = band_of(b00, b01, b10, b11)
@@ -521,6 +550,10 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
         )
         if precise:
             ssim, ssim_lo = _ssim_from_blurs_df32(*blurs, c1, c2)
+        elif components:
+            lum, cs = _l_cs_from_blurs(*blurs, c1, c2)
+            ssim = lum * cs
+            ssim_lo = None
         else:
             ssim = _ssim_from_blurs(*blurs, c1, c2)
             ssim_lo = None
@@ -574,7 +607,11 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
                     lambda: jnp.sum(x),
                 )
 
-            sum_ref[0, 0, 0, 0, 0] = tile_sums(ssim)
+            if components:
+                sum_ref[0, 0, 0, 0, 0] = tile_sums(cs)
+                sum_ref[0, 0, 0, 0, 1] = tile_sums(ssim)
+            else:
+                sum_ref[0, 0, 0, 0, 0] = tile_sums(ssim)
 
     pa = pad_align(a, hp, wp, tile_h, interpret=interpret)
     pb = pad_align(b, hp, wp, tile_h, interpret=interpret)
@@ -599,7 +636,7 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
             pl.BlockSpec((1, tile_h, chunk_w), lambda bi, i, c: (bi, i, c),
                          memory_space=pltpu.VMEM)
         )
-    n_sums = 2 if precise else 1
+    n_sums = 2 if (precise or components) else 1
     out_shapes.append(jax.ShapeDtypeStruct((batch, nh, nc, 1, n_sums), jnp.float32))
     out_specs.append(
         pl.BlockSpec((1, 1, 1, 1, n_sums), lambda bi, i, c: (bi, i, c, 0, 0),
@@ -703,3 +740,67 @@ def ssim_parts_pallas(
         partials = partials[0]
         ssim_map = None if ssim_map is None else ssim_map[0]
     return partials, ssim_map
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("data_range", "interpret", "max_tile_h", "max_tile_w"),
+)
+def ssim_components_pallas(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    data_range: float = 255.0,
+    interpret: bool = False,
+    max_tile_h: int = TILE_H,
+    max_tile_w: int = TILE_W,
+) -> jnp.ndarray:
+    """Fused-kernel MS-SSIM components: per-tile sums of the cs factor and
+    of full SSIM (= l*cs). a, b: (H, W) or (B, H, W), uint8 OR float32 in
+    [0, data_range] — the float entry exists for the downsampled scales
+    of the MS-SSIM pyramid (models/msssim.py), whose 2x2-mean values are
+    exact f32s but no longer integers.
+
+    Returns (..., K, 2) f32: [:, 0] cs-sums, [:, 1] ssim-sums per tile;
+    means follow by summing over K and dividing by H*W. This is the
+    components-mode kernel that makes MS-SSIM usable on TPU (the pure-XLA
+    formulation compiles ~160 s/shape there).
+    """
+    if a.dtype == jnp.uint8 and b.dtype == jnp.uint8:
+        pass
+    elif a.dtype == jnp.float32 and b.dtype == jnp.float32:
+        if _round_up(a.shape[-1] + 2 * RADIUS, 128) > max_tile_w + COL_OVERLAP:
+            raise ValueError(
+                "float32 components input wider than one tile is not "
+                "supported (the pad kernel of the chunked path is u8-only);"
+                " downsample first or use the XLA path"
+            )
+    else:
+        raise ValueError(
+            f"components kernel takes uint8 or float32 pairs, got "
+            f"{a.dtype}/{b.dtype}"
+        )
+    squeeze = a.ndim == 2
+    if squeeze:
+        a = a[None]
+        b = b[None]
+    batch, h, w = a.shape
+
+    taps = gaussian_taps(np.float32, RADIUS, SIGMA)
+    c1 = float((0.01 * data_range) ** 2)
+    c2 = float((0.03 * data_range) ** 2)
+
+    if _round_up(w + 2 * RADIUS, 128) <= max_tile_w + COL_OVERLAP:
+        partials, _ = _nopad_overlap_call(
+            a, b, h, w, taps, c1, c2, False, interpret, max_tile_h,
+            components=True,
+        )
+    else:
+        partials, _ = _chunked_overlap_call(
+            a, b, h, w, taps, c1, c2, False, interpret, max_tile_h,
+            components=True,
+        )
+    partials = partials.reshape(batch, -1, 2)
+    if squeeze:
+        partials = partials[0]
+    return partials

@@ -101,3 +101,40 @@ def test_batched(rng):
     scores = compute_ms_ssim(np.stack([a1, a2]), np.stack([b1, b2]))
     assert scores.shape == (2,)
     assert scores[0] == pytest.approx(compute_ms_ssim(a1, b1), abs=1e-6)
+
+
+def test_pallas_impl_matches_xla(rng):
+    """The components-mode fused kernel (the path that makes MS-SSIM
+    usable on TPU) must agree with the XLA formulation."""
+    a, b = random_pair(rng, 192, 256)
+    got = compute_ms_ssim(a, b, impl="pallas")
+    want = compute_ms_ssim(a, b, impl="xla")
+    assert got == pytest.approx(want, abs=2e-5)
+
+
+def test_pallas_impl_matches_numpy(rng):
+    a, b = random_pair(rng, 180, 200)
+    got = compute_ms_ssim(a, b, impl="pallas")
+    want = _numpy_msssim(a, b)
+    assert got == pytest.approx(want, abs=5e-5)
+
+
+def test_pallas_impl_batched(rng):
+    pairs = [random_pair(rng, 176, 192) for _ in range(2)]
+    a = np.stack([p[0] for p in pairs])
+    b = np.stack([p[1] for p in pairs])
+    got = compute_ms_ssim(a, b, impl="pallas")
+    for i in range(2):
+        want = compute_ms_ssim(a[i], b[i], impl="pallas")
+        assert got[i] == pytest.approx(want, abs=1e-7)
+
+
+def test_pallas_impl_float_input(rng):
+    """f32 inputs in [0,1] (training convention) through the components
+    kernel's float entry."""
+    a, b = random_pair(rng, 192, 208)
+    af = a.astype(np.float32) / 255.0
+    bf = b.astype(np.float32) / 255.0
+    got = compute_ms_ssim(af, bf, data_range=1.0, impl="pallas")
+    want = compute_ms_ssim(af, bf, data_range=1.0, impl="xla")
+    assert got == pytest.approx(want, abs=2e-5)
