@@ -1,113 +1,21 @@
-"""Benchmark: global-SSIM throughput on 4K grayscale pairs, real TPU
-(BASELINE.json metric; 1080p/8K numbers in the stderr diagnostics).
+"""Benchmark: global-SSIM throughput, real TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — the
+best standard single-chip config (the reference's README headline is
+likewise its best config). Per-config numbers go to stderr diagnostics.
 Baseline: the reference's best full-machine number, 232.4 Mpix/s
 (FMA + OpenMP, no map — reference README.md:48, mirrored in BASELINE.md).
 
-Methodology mirrors the reference's perf harness (Mpix/s over repeated
-runs, tests/rmgr-ssim-tests.cpp:188-222), adapted to an RPC-attached TPU:
-
-- The iteration loop runs *on device* inside one jit (a lax.fori_loop
-  feeding the fused SSIM pipeline), so host<->device round-trip latency
-  (~30 ms on this tunnel) is paid once per measurement, not per iteration.
-- The input is carried through the loop and perturbed by one in-place
-  pixel update per step — every iteration is distinct work (nothing can
-  be hoisted/CSEd) without the full-array copy a `a + i%2` perturbation
-  costs (~5% measured).
-- Throughput comes from the delta between a long and a short loop,
-  cancelling the fixed overhead; the tunnel adds ±2-10% noise per
-  synchronous call, so each delta takes the MIN of several timings per
-  loop length, and the reported figure is the BEST of `reps` deltas.
-  Loops are sized to several hundred ms so residual jitter is <2%.
+Methodology: ssim_tpu/testing/devicebench.py — on-device lax.fori_loop
+with a carried, in-place-perturbed input; long/short-loop deltas,
+min-of-2 per length, best of 3 reps. See that module's docstring for why
+each piece exists on an RPC-attached TPU.
 """
 
-import functools
 import json
 import sys
-import time
 
-import numpy as np
-
-
-def _make_runner(impl: str, with_map: bool):
-    import jax
-    import jax.numpy as jnp
-
-    from ssim_tpu.dispatch import backend_platform
-
-    interpret = backend_platform() != "tpu"
-
-    if impl == "pallas":
-        from ssim_tpu.ops.ssim_pallas import ssim_parts_pallas
-
-        def parts(a, b):
-            return ssim_parts_pallas(a, b, with_map=with_map, interpret=interpret)
-    else:
-        from ssim_tpu.ops.ssim_xla import ssim_parts_xla
-
-        def parts(a, b):
-            return ssim_parts_xla(a, b, with_map=with_map)
-
-    @functools.partial(jax.jit, static_argnames=("iters",))
-    def run(a, b, iters: int):
-        def body(i, state):
-            a_c, acc = state
-            # One-pixel in-place perturbation of the carried input: every
-            # step is fresh work, no full-array copy (XLA updates the
-            # loop carry in place).
-            a_c = jax.lax.dynamic_update_index_in_dim(
-                a_c, (a_c[0, 0, 0] + 1).astype(jnp.uint8)[None, None], 0, 0
-            )
-            partials, m = parts(a_c, b)
-            acc = acc + jnp.sum(partials)
-            if m is not None:
-                acc = acc + m[0, 0, 0]
-            return (a_c, acc)
-
-        _, acc = jax.lax.fori_loop(0, iters, body, (a, jnp.float32(0.0)))
-        return acc
-
-    return run
-
-
-def bench(impl: str = "pallas", with_map: bool = False, batch: int = 8,
-          h: int = 1080, w: int = 1920, iters: int = 256, reps: int = 3) -> float:
-    import jax
-
-    rng = np.random.default_rng(7)
-    a = rng.integers(0, 256, (batch, h, w), dtype=np.uint8)
-    noise = rng.normal(0, 8, a.shape).astype(np.int16)
-    b = np.clip(a.astype(np.int16) + noise, 0, 255).astype(np.uint8)
-
-    a_dev = jax.device_put(a)
-    b_dev = jax.device_put(b)
-    run = _make_runner(impl, with_map)
-
-    # Warmup/compile both loop lengths.
-    short, long_ = max(1, iters // 8), iters
-    for it in (short, long_):
-        v = float(run(a_dev, b_dev, it))  # scalar readback forces completion
-        assert np.isfinite(v)
-
-    def timed(it):
-        t0 = time.perf_counter()
-        v = float(run(a_dev, b_dev, it))
-        t1 = time.perf_counter()
-        assert np.isfinite(v)
-        return t1 - t0
-
-    best = 0.0
-    for _ in range(reps):
-        ts = min(timed(short) for _ in range(2))
-        tl = min(timed(long_) for _ in range(2))
-        dt = tl - ts
-        if dt <= 0.01 * tl:
-            continue  # noise swamped this delta; try another rep
-        best = max(best, batch * h * w * (long_ - short) / dt / 1e6)
-    if best == 0.0:
-        raise RuntimeError("unstable measurement: every delta was noise-dominated")
-    return best  # Mpix/s
+from ssim_tpu.testing.devicebench import device_throughput
 
 
 def main():
@@ -118,10 +26,11 @@ def main():
         ("pallas_1080_nomap", dict(impl="pallas", with_map=False)),
         ("pallas_1080_map", dict(impl="pallas", with_map=True)),
         ("pallas_8k_nomap", dict(impl="pallas", with_map=False, batch=1, h=4320, w=7680, iters=64)),
+        ("pallas_4k_f64mode", dict(impl="pallas", with_map=False, batch=4, h=2160, w=3840, iters=64, precise=True)),
         ("xla_1080_nomap", dict(impl="xla", with_map=False, iters=24)),
     ]:
         try:
-            results[name] = bench(**kwargs)
+            results[name] = device_throughput(**kwargs)
         except Exception as e:  # pragma: no cover
             print(f"bench {name} failed: {type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
             results[name] = 0.0
@@ -135,8 +44,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "ssim_throughput",  # best standard config (the
-                # reference's README headline is likewise its best config)
+                "metric": "ssim_throughput",
                 "value": round(best, 1),
                 "unit": "Mpix/s",
                 "vs_baseline": round(best / baseline, 2),

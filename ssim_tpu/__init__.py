@@ -17,7 +17,7 @@ Public API mirrors the reference's parameter surface (include/rmgr/ssim.h).
 
 from .version import __version__, get_version
 from .errors import SsimError, InvalidArgumentError, UnsupportedError
-from .params import ImageView, Params
+from .params import ImageView, Params, write_strided_map
 from .windows import gaussian_taps, gaussian_kernel_2d, RADIUS, SIGMA, C1, C2
 from .api import (
     compute_ssim,
@@ -39,6 +39,7 @@ __all__ = [
     "UnsupportedError",
     "ImageView",
     "Params",
+    "write_strided_map",
     "gaussian_taps",
     "gaussian_kernel_2d",
     "RADIUS",

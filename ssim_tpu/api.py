@@ -46,20 +46,34 @@ def compute_ssim(
     Returns `float` (or (B,) float64 array), or `(score, map)` when
     `with_map`. Parity: rmgr::ssim::compute_ssim (src/ssim.cpp:933-1106).
     """
+    params = None
     if isinstance(a, Params):
-        p = a
+        params = a
         if b is not None:
             raise TypeError("pass either Params or two images, not both")
-        a, b = p.img_a.data, p.img_b.data
-        with_map = p.with_map
-        impl = p.implementation
-        data_range = p.data_range
+        a, b = params.img_a.data, params.img_b.data
+        with_map = params.with_map or params.map_buffer is not None
+        impl = params.implementation
+        data_range = params.data_range
     score, ssim_map = engine.compute(
         _unwrap(a), _unwrap(b), with_map=with_map, impl=impl,
         data_range=data_range, precision=precision,
     )
+    if params is not None and params.map_buffer is not None:
+        # Reference ssimStep/ssimStride map layout (include/rmgr/ssim.h:514-516).
+        from .params import write_strided_map
+
+        stride = params.map_stride
+        if stride is None:
+            stride = ssim_map.shape[-1] * params.map_step
+        write_strided_map(
+            params.map_buffer, ssim_map, params.map_step, stride,
+            params.map_offset,
+        )
     score = float(score) if np.ndim(score) == 0 else score
-    if with_map:
+    # A map_buffer alone (reference: ssimMap != NULL) doesn't change the
+    # return shape — the map went into the caller's buffer.
+    if params.with_map if params is not None else with_map:
         return score, ssim_map
     return score
 

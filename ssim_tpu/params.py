@@ -133,6 +133,46 @@ class ImageView:
         return cls(np.ascontiguousarray(buf[offset + y[:, None] + x[None, :]]))
 
 
+def write_strided_map(
+    buffer: np.ndarray,
+    ssim_map: np.ndarray,
+    step: int,
+    stride: int,
+    offset: int = 0,
+) -> np.ndarray:
+    """Write a contiguous (H, W) SSIM map into a flat float buffer with
+    the reference's map addressing: value(x, y) lands at
+    buffer[offset + x*step + y*stride] (ssimStep/ssimStride in *floats*,
+    include/rmgr/ssim.h:514-516; negative strides supported like the
+    image-side contract, :516,553).
+
+    The device always produces contiguous maps (the documented TPU-side
+    divergence: XLA owns layout); this host-side writer restores the
+    reference's arbitrary-output-layout capability, e.g. interleaved
+    per-channel maps (step = channel count, the CLI's usage,
+    src/ssim-cli.cpp:119-121) or bottom-up buffers. Returns `buffer`.
+    """
+    ssim_map = np.asarray(ssim_map, dtype=np.float32)
+    if ssim_map.ndim != 2:
+        raise InvalidArgumentError(f"need a 2-D map, got shape {ssim_map.shape}")
+    buf = np.asarray(buffer)
+    if buf.ndim != 1 or not np.issubdtype(buf.dtype, np.floating):
+        raise InvalidArgumentError("map buffer must be a flat float array")
+    h, w = ssim_map.shape
+    corners = [
+        offset,
+        offset + (w - 1) * step,
+        offset + (h - 1) * stride,
+        offset + (w - 1) * step + (h - 1) * stride,
+    ]
+    if min(corners) < 0 or max(corners) >= buf.size:
+        raise InvalidArgumentError("strided map write escapes the buffer")
+    x = np.arange(w) * step
+    y = np.arange(h) * stride
+    buf[offset + y[:, None] + x[None, :]] = ssim_map
+    return buf
+
+
 @dataclass(frozen=True)
 class Params:
     """Computation parameters (reference rmgr_ssim_Params,
@@ -143,6 +183,13 @@ class Params:
     with_map: bool = False  # reference: ssimMap != NULL
     implementation: str = "auto"  # reference: Implementation enum (tests only)
     data_range: float = 255.0  # reference: L, fixed to 255 for u8 (src/ssim.cpp:958)
+    #: Optional strided map output (reference ssimMap/ssimStep/ssimStride,
+    #: include/rmgr/ssim.h:510-516): a flat float buffer the computed map
+    #: is written into via write_strided_map. map_stride=None means W.
+    map_buffer: Any = None
+    map_step: int = 1
+    map_stride: Any = None
+    map_offset: int = 0
     extras: dict = field(default_factory=dict)
 
     def __post_init__(self):

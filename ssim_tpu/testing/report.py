@@ -86,13 +86,39 @@ def run_report(quick: bool = False, out=sys.stdout):
             f"{impl.value:>10} | {g.mean():12.3e} | {g.max():12.3e} | "
             f"{p.mean():12.3e} | {p.max():12.3e}\n"
         )
-    out.write("\nThroughput (Mpix/s, eager API incl. host transfers; see bench.py "
-              "for steady-state device throughput)\n")
-    out.write(f"{'impl':>10} | {'no map':>10} | {'with map':>10}\n")
+    out.write("\nThroughput (Mpix/s)\n")
+    out.write(f"{'impl':>10} | {'eager nomap':>11} | {'eager map':>11} | "
+              f"{'device nomap':>12} | {'device map':>12}\n")
+    on_tpu = jax.devices()[0].platform == "tpu"
     for impl in impls:
         no_map = pixels[(impl, False)] / ticks[(impl, False)] / 1e6
         w_map = pixels[(impl, True)] / ticks[(impl, True)] / 1e6
-        out.write(f"{impl.value:>10} | {no_map:10.1f} | {w_map:10.1f}\n")
+        # Steady-state device numbers via the on-device-loop methodology
+        # (devicebench.py); the eager columns include per-call host
+        # transfers and RTT (the reference's harness semantics,
+        # tests/rmgr-ssim-tests.cpp:107-152, on its local CPU). The XLA
+        # path is skipped on TPU (its ~160 s/shape compile isn't worth a
+        # report run) and Pallas is skipped off-TPU (interpret mode
+        # measures nothing real).
+        dev = [float("nan")] * 2
+        measurable = (impl == Implementation.PALLAS and on_tpu) or (
+            impl == Implementation.XLA and not on_tpu
+        )
+        if measurable and not quick:
+            from .devicebench import device_throughput
+
+            for j, wm in enumerate((False, True)):
+                try:
+                    dev[j] = device_throughput(
+                        impl.value, with_map=wm, batch=2, h=1080, w=1920,
+                        iters=64, reps=2,
+                    )
+                except Exception:
+                    pass
+        out.write(
+            f"{impl.value:>10} | {no_map:11.1f} | {w_map:11.1f} | "
+            f"{dev[0]:12.1f} | {dev[1]:12.1f}\n"
+        )
     return 0
 
 

@@ -232,3 +232,57 @@ def test_pallas_rejects_wide_integer_dtypes():
     got = float(api.ssim(a16, b16, data_range=65535.0, impl="pallas"))
     want = float(api.ssim(a16, b16, data_range=65535.0, impl="xla"))
     assert got == pytest.approx(want, abs=1e-7)
+
+
+def test_strided_map_write_interleaved(rng):
+    """Reference ssimStep/ssimStride map layout (include/rmgr/ssim.h:514-516):
+    interleaved per-channel maps via step=C, the CLI's usage
+    (src/ssim-cli.cpp:119-121)."""
+    from ssim_tpu import write_strided_map
+
+    a = rng.integers(0, 256, (20, 24, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, (20, 24, 3), dtype=np.uint8)
+    buf = np.zeros(20 * 24 * 3, np.float32)
+    maps = []
+    for c in range(3):
+        _, m = compute_ssim(a[:, :, c], b[:, :, c], with_map=True, impl="xla")
+        maps.append(m)
+        write_strided_map(buf, m, step=3, stride=24 * 3, offset=c)
+    interleaved = buf.reshape(20, 24, 3)
+    for c in range(3):
+        np.testing.assert_array_equal(interleaved[:, :, c], maps[c])
+
+
+def test_strided_map_write_bottom_up(rng):
+    """Negative stride = bottom-up map buffer, like the image-side
+    negative-stride support (include/rmgr/ssim.h:516,553)."""
+    from ssim_tpu import write_strided_map
+
+    m = rng.random((8, 10)).astype(np.float32)
+    buf = np.zeros(80, np.float32)
+    write_strided_map(buf, m, step=1, stride=-10, offset=70)
+    np.testing.assert_array_equal(buf.reshape(8, 10), m[::-1])
+
+
+def test_strided_map_write_bounds():
+    from ssim_tpu import write_strided_map
+
+    m = np.zeros((4, 4), np.float32)
+    with pytest.raises(InvalidArgumentError, match="escapes"):
+        write_strided_map(np.zeros(15, np.float32), m, step=1, stride=4)
+
+
+def test_params_map_buffer(rng):
+    """Params with a map_buffer mirrors ssimMap != NULL: the map lands in
+    the caller's buffer; the return shape follows with_map."""
+    a = rng.integers(0, 256, (16, 20), dtype=np.uint8)
+    b = rng.integers(0, 256, (16, 20), dtype=np.uint8)
+    buf = np.zeros(16 * 20, np.float32)
+    p = Params(
+        img_a=ImageView.from_gray(a), img_b=ImageView.from_gray(b),
+        implementation="xla", map_buffer=buf,
+    )
+    score = compute_ssim(p)  # bare score: with_map stays False
+    assert isinstance(score, float)
+    _, want = compute_ssim(a, b, with_map=True, impl="xla")
+    np.testing.assert_array_equal(buf.reshape(16, 20), want)
