@@ -333,10 +333,16 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
                 raw = raw.astype(jnp.int32).astype(jnp.float32)
             else:
                 # Float inputs (MS-SSIM pyramid scales): ragged edge
-                # blocks carry uninitialized garbage that can be NaN/inf,
-                # which the band matrices' zero weights cannot neutralize
-                # (0*NaN = NaN). u8 garbage is always finite.
-                raw = jnp.nan_to_num(raw.astype(jnp.float32))
+                # blocks carry uninitialized garbage that can be NaN/inf
+                # or huge-finite, which the band matrices' zero weights
+                # cannot neutralize once squared (0*inf = NaN — observed
+                # on real TPU, not in interpret mode). u8 garbage is
+                # always finite and small. nan_to_num alone is NOT
+                # enough: it maps inf to 3.4e38, whose square overflows
+                # right back to inf.
+                raw = jnp.clip(
+                    jnp.nan_to_num(raw.astype(jnp.float32)), 0.0, 131072.0
+                )
             # In-VMEM clamp-to-edge lane halo (reference border rule,
             # src/ssim.cpp:540-555).
             left = jnp.broadcast_to(raw[:, :1], (band, r))
@@ -527,8 +533,11 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
             )
             raw = jnp.concatenate([lo, hi], axis=0)
             if raw.dtype == jnp.uint8:
-                raw = raw.astype(jnp.int32)
-            return raw.astype(jnp.float32)
+                return raw.astype(jnp.int32).astype(jnp.float32)
+            # See the fast path's float-garbage note (0*inf = NaN).
+            return jnp.clip(
+                jnp.nan_to_num(raw.astype(jnp.float32)), 0.0, 131072.0
+            )
 
         af = band_of(a00, a01, a10, a11)
         bf = band_of(b00, b01, b10, b11)

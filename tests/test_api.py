@@ -124,7 +124,10 @@ def test_precision_f64_mode(rng):
     b = rng.integers(0, 256, (60, 90), dtype=np.uint8)
     want, _ = reference.compute_ssim(a, b)
     got = compute_ssim(a, b, precision="f64")
-    assert got == pytest.approx(want, abs=1e-13)
+    # On CPU (impl auto -> xla) f64 routes to the host oracle (exact); on
+    # real TPU it routes to the compensated df32 kernel (~2e-8 on noise
+    # pairs) — both far inside the reference double tier of 5e-7.
+    assert got == pytest.approx(want, abs=1e-7)
     with pytest.raises(InvalidArgumentError):
         compute_ssim(a, b, precision="f16")
 

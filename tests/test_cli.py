@@ -103,7 +103,9 @@ def test_multichannel_batched_equals_serial(rng):
     res = compute_ssim_channels(a, b, impl="xla")
     for c in range(3):
         want = compute_ssim(a[:, :, c], b[:, :, c], impl="xla")
-        assert res.per_channel[c] == pytest.approx(want, abs=1e-9)
+        # 1e-8: on real TPU the batched channel stack fuses/reduces in a
+        # different order than the serial calls (measured diff ~1.6e-9).
+        assert res.per_channel[c] == pytest.approx(want, abs=1e-8)
     assert res.average == pytest.approx(np.mean(res.per_channel), abs=1e-12)
 
 
@@ -133,3 +135,18 @@ def test_quantize_map_truncates_like_reference():
     q = quantize_map(m)
     # 0.9999*255 = 254.97 -> 254 (rounding would give 255)
     np.testing.assert_array_equal(q, [0, 0, 0, 0, 254, 255])
+
+
+def test_pnm_image_loading(tmp_path, rng):
+    """stb_image reads binary PNM (P5/P6, src/ssim-cli.cpp via stb); our
+    PIL-based loader must cover the same formats."""
+    from ssim_tpu.utils import load_image
+
+    gray = rng.integers(0, 256, (12, 16), dtype=np.uint8)
+    rgbi = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    p5 = tmp_path / "g.pgm"
+    p5.write_bytes(b"P5\n16 12\n255\n" + gray.tobytes())
+    p6 = tmp_path / "c.ppm"
+    p6.write_bytes(b"P6\n16 12\n255\n" + rgbi.tobytes())
+    np.testing.assert_array_equal(load_image(str(p5)), gray)
+    np.testing.assert_array_equal(load_image(str(p6)), rgbi)
