@@ -15,11 +15,17 @@ ICI — the TPU-native equivalent of a distributed communication backend.
                with ppermute (the ICI analogue of the reference's
                overlapping tile margins, src/ssim.cpp:230-239).
 - mesh.py    — mesh construction helpers.
+- multihost.py — multi-process (multi-host) wiring: jax.distributed
+               initialization, global meshes spanning every host's
+               devices, and process-local batch distribution; the DCN
+               story, tested with two real coordinated processes
+               (tests/test_multihost.py).
 """
 
 from .mesh import make_mesh, default_mesh
 from .batch import ssim_batch_sharded, mean_ssim_sharded
 from .spatial import ssim_spatial_sharded
+from . import multihost
 
 __all__ = [
     "make_mesh",
@@ -27,4 +33,5 @@ __all__ = [
     "ssim_batch_sharded",
     "mean_ssim_sharded",
     "ssim_spatial_sharded",
+    "multihost",
 ]
