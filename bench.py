@@ -8,8 +8,8 @@ Baseline: the reference's best full-machine number, 232.4 Mpix/s
 
 Methodology: ssim_tpu/testing/devicebench.py — on-device lax.fori_loop
 with a carried, in-place-perturbed input; long/short-loop deltas,
-min-of-2 per length, best of 3 reps. See that module's docstring for why
-each piece exists on an RPC-attached TPU.
+min-of-3 timings per length, MEDIAN of reps. See that module's docstring
+for why each piece exists on an RPC-attached TPU.
 """
 
 import json

@@ -66,56 +66,33 @@ def _check_levels(a, levels):
         )
 
 
-@functools.partial(jax.jit, static_argnames=("data_range", "weights", "impl"))
-def ms_ssim(
-    a: jnp.ndarray,
-    b: jnp.ndarray,
-    *,
-    data_range: float = 255.0,
-    weights: Tuple[float, ...] = MS_SSIM_WEIGHTS,
-    impl: str = "auto",
-) -> jnp.ndarray:
-    """Jittable MS-SSIM. a, b: (..., H, W); needs min(H, W) >= 11 * 2^(L-1).
-
-    Returns scalar for 2-D inputs, (B,) for batched.
-
-    impl: "auto" (the fused components-mode Pallas kernel on TPU — the
-    pure-XLA formulation takes ~160 s/shape to *compile* there — and XLA
-    elsewhere), "pallas", or "xla". The XLA path is differentiable; the
-    Pallas path is forward-only.
-    """
-    from ..dispatch import Implementation, backend_platform, select_impl
+def _ms_pallas_forward(a, b, data_range, weights, interpret):
+    """Components-kernel pyramid (forward only)."""
+    from ..ops.ssim_pallas import ssim_components_pallas
 
     levels = len(weights)
-    _check_levels(a, levels)
+    x_a, x_b = a, b
+    result = None
+    for lvl, w in enumerate(weights):
+        parts = ssim_components_pallas(
+            x_a, x_b, data_range=data_range, interpret=interpret
+        )
+        n = x_a.shape[-2] * x_a.shape[-1]
+        sums = jnp.sum(parts, axis=-2) / n  # (..., 2): [mean_cs, mean_ssim]
+        if lvl == levels - 1:
+            # Coarsest scale uses the full SSIM mean (Wang 2003 eq. 7).
+            term = jnp.maximum(sums[..., 1], 1e-6) ** w
+        else:
+            term = jnp.maximum(sums[..., 0], 1e-6) ** w
+            x_a = _downsample2(x_a.astype(jnp.float32))
+            x_b = _downsample2(x_b.astype(jnp.float32))
+        result = term if result is None else result * term
+    return result
 
-    resolved = select_impl(impl)
-    use_pallas = resolved == Implementation.PALLAS and a.dtype in (
-        jnp.uint8, jnp.float32
-    )
 
-    if use_pallas:
-        from ..ops.ssim_pallas import ssim_components_pallas
-
-        interpret = backend_platform() != "tpu"
-        x_a, x_b = a, b
-        result = None
-        for lvl, w in enumerate(weights):
-            parts = ssim_components_pallas(
-                x_a, x_b, data_range=data_range, interpret=interpret
-            )
-            n = x_a.shape[-2] * x_a.shape[-1]
-            sums = jnp.sum(parts, axis=-2) / n  # (..., 2): [mean_cs, mean_ssim]
-            if lvl == levels - 1:
-                # Coarsest scale uses the full SSIM mean (Wang 2003 eq. 7).
-                term = jnp.maximum(sums[..., 1], 1e-6) ** w
-            else:
-                term = jnp.maximum(sums[..., 0], 1e-6) ** w
-                x_a = _downsample2(x_a.astype(jnp.float32))
-                x_b = _downsample2(x_b.astype(jnp.float32))
-            result = term if result is None else result * term
-        return result
-
+def _ms_xla_forward(a, b, data_range, weights):
+    """Pure-XLA pyramid (differentiable; slow to compile on TPU)."""
+    levels = len(weights)
     taps = gaussian_taps(np.float32, RADIUS, SIGMA)
     c1 = jnp.float32((0.01 * data_range) ** 2)
     c2 = jnp.float32((0.03 * data_range) ** 2)
@@ -137,6 +114,86 @@ def ms_ssim(
             bf = _downsample2(bf)
         result = term if result is None else result * term
     return result
+
+
+def _pallas_eligible(a, b, levels):
+    """Every pyramid scale must be a shape/dtype the components kernel
+    accepts; anything else silently keeps the XLA path (same silent-
+    fallback convention as api._jit_parts)."""
+    from ..ops.ssim_pallas import COL_OVERLAP, RADIUS as R, TILE_W, _round_up
+
+    if a.ndim not in (2, 3) or a.dtype != b.dtype:
+        return False
+    if a.dtype not in (jnp.uint8, jnp.float32):
+        return False
+
+    def fits_fast_path(width):
+        return _round_up(width + 2 * R, 128) <= TILE_W + COL_OVERLAP
+
+    w = a.shape[-1]
+    # Scale 0: u8 may use the chunked path (any width); f32 may not.
+    if a.dtype == jnp.float32 and not fits_fast_path(w):
+        return False
+    # Scales >= 1 are always f32 (2x2 means) and must fit one tile.
+    if levels >= 2 and not fits_fast_path(w // 2):
+        return False
+    return True
+
+
+@functools.partial(jax.jit, static_argnames=("data_range", "weights", "impl"))
+def ms_ssim(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    data_range: float = 255.0,
+    weights: Tuple[float, ...] = MS_SSIM_WEIGHTS,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Jittable MS-SSIM. a, b: (..., H, W); needs min(H, W) >= 11 * 2^(L-1).
+
+    Returns scalar for 2-D inputs, (B,) for batched. Differentiable on
+    every path: the Pallas components kernel carries a custom VJP whose
+    backward pass is the XLA formulation (so the first jax.grad call on
+    TPU pays the XLA compile, the forward stays fast).
+
+    impl: "auto" (the fused components-mode Pallas kernel on TPU — the
+    pure-XLA formulation takes ~160 s/shape to *compile* there — and XLA
+    elsewhere), "pallas", or "xla".
+    """
+    from ..dispatch import Implementation, backend_platform, select_impl
+
+    levels = len(weights)
+    _check_levels(a, levels)
+
+    resolved = select_impl(impl)
+    use_pallas = resolved == Implementation.PALLAS and _pallas_eligible(
+        a, b, levels
+    )
+    if not use_pallas:
+        return _ms_xla_forward(a, b, data_range, weights)
+
+    interpret = backend_platform() != "tpu"
+    if a.dtype != jnp.float32:
+        # u8 inputs are not differentiable (integer tangents); skip the
+        # VJP wrapper so the forward stays a pure kernel call.
+        return _ms_pallas_forward(a, b, data_range, weights, interpret)
+
+    @jax.custom_vjp
+    def f(xa, xb):
+        return _ms_pallas_forward(xa, xb, data_range, weights, interpret)
+
+    def f_fwd(xa, xb):
+        return f(xa, xb), (xa, xb)
+
+    def f_bwd(res, g):
+        xa, xb = res
+        _, vjp = jax.vjp(
+            lambda u, v: _ms_xla_forward(u, v, data_range, weights), xa, xb
+        )
+        return vjp(g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(a, b)
 
 
 def compute_ms_ssim(a, b, *, data_range: float = 255.0,

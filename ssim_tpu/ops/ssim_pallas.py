@@ -476,12 +476,17 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
 MAX_CHUNK_W = 4096
 
 
-def _pick_chunk_w(w: int, max_chunk: int = MAX_CHUNK_W) -> int:
+def _pick_chunk_w(w: int, tile_h: int = TILE_H) -> int:
     """Chunk width minimizing total computed lanes nc*(cw + 256): the
     256-lane halo concat argues for wide chunks, ragged last-chunk waste
     for chunks that divide the width. Measured on v5e at 8K: 3840 (exact
     2-chunk cover) runs 11.0 Gpix/s vs 9.8 for the fixed 2048/4096.
+
+    The VMEM working set scales with tile_h * chunk_w; 4096 lanes were
+    validated at tile_h 32, so the cap shrinks proportionally for taller
+    tiles (cfg.max_tile_h can push tile_h to 256).
     """
+    max_chunk = max(512, min(MAX_CHUNK_W, MAX_CHUNK_W * TILE_H // tile_h // 128 * 128))
     best_cw, best_cost = None, None
     nc_min = -(-w // max_chunk)
     for nc in range(nc_min, nc_min + 4):
@@ -510,7 +515,7 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
     batch = a.shape[0]
     tile_h = max(32, min(max_tile_h, 256) // 32 * 32)
     nh = -(-h // tile_h)
-    chunk_w = _pick_chunk_w(w)
+    chunk_w = _pick_chunk_w(w, tile_h)
     nc = -(-w // chunk_w)
     hp = (nh + 1) * tile_h  # junk row block for the row-neighbor spec
     wp = (nc + 1) * chunk_w  # junk lane chunk for the lane-neighbor spec

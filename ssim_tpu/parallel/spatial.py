@@ -128,7 +128,7 @@ def ssim_spatial_sharded(
                 interpret=interpret,
             )
             valid = ssim_map[radius : radius + shard_h, :]
-            return jnp.sum(valid, axis=-1), valid
+            return jnp.sum(valid, axis=-1), (valid if with_map else None)
     else:
         from ..ops.ssim_xla import ssim_from_padded
 
@@ -148,7 +148,7 @@ def ssim_spatial_sharded(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(axis, None), P(axis, None)),
-        out_specs=(P(axis), P(axis, None)) if (with_map or use_pallas) else (P(axis), P()),
+        out_specs=(P(axis), P(axis, None)) if with_map else (P(axis), P()),
         check_vma=False,  # pallas_call outputs carry no vma metadata
     )
     def shard_fn(a_s, b_s):

@@ -155,9 +155,19 @@ def write_strided_map(
     ssim_map = np.asarray(ssim_map, dtype=np.float32)
     if ssim_map.ndim != 2:
         raise InvalidArgumentError(f"need a 2-D map, got shape {ssim_map.shape}")
-    buf = np.asarray(buffer)
+    if not isinstance(buffer, np.ndarray):
+        # np.asarray of a list/array.array would write into a silently
+        # discarded copy; the reference contract is write-into-caller's-
+        # buffer (ssimMap pointer), so demand a real writable ndarray.
+        raise InvalidArgumentError(
+            f"map buffer must be a NumPy array (got {type(buffer).__name__}); "
+            "a copy would silently discard the map"
+        )
+    buf = buffer
     if buf.ndim != 1 or not np.issubdtype(buf.dtype, np.floating):
         raise InvalidArgumentError("map buffer must be a flat float array")
+    if not buf.flags.writeable:
+        raise InvalidArgumentError("map buffer is read-only")
     h, w = ssim_map.shape
     corners = [
         offset,

@@ -78,7 +78,7 @@ def device_throughput(
     precise: bool = False,
     seed: int = 7,
 ) -> float:
-    """Best-of-reps steady-state throughput in Mpix/s."""
+    """Median-of-reps steady-state throughput in Mpix/s."""
     import jax
 
     rng = np.random.default_rng(seed)

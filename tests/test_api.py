@@ -289,3 +289,17 @@ def test_params_map_buffer(rng):
     assert isinstance(score, float)
     _, want = compute_ssim(a, b, with_map=True, impl="xla")
     np.testing.assert_array_equal(buf.reshape(16, 20), want)
+
+
+def test_strided_map_rejects_copy_buffers():
+    """Lists/array.array would receive the map into a silently discarded
+    copy — must be rejected, not quietly dropped."""
+    from ssim_tpu import write_strided_map
+
+    m = np.ones((2, 3), np.float32)
+    with pytest.raises(InvalidArgumentError, match="NumPy array"):
+        write_strided_map([0.0] * 6, m, step=1, stride=3)
+    ro = np.zeros(6, np.float32)
+    ro.flags.writeable = False
+    with pytest.raises(InvalidArgumentError, match="read-only"):
+        write_strided_map(ro, m, step=1, stride=3)

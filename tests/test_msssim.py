@@ -138,3 +138,49 @@ def test_pallas_impl_float_input(rng):
     got = compute_ms_ssim(af, bf, data_range=1.0, impl="pallas")
     want = compute_ms_ssim(af, bf, data_range=1.0, impl="xla")
     assert got == pytest.approx(want, abs=2e-5)
+
+
+def test_pallas_impl_grad_matches_xla(rng):
+    """The auto/pallas path must stay differentiable (custom VJP routed
+    through the XLA formulation)."""
+    import jax
+
+    a, b = random_pair(rng, 176, 192)
+    af = a.astype(np.float32) / 255.0
+    bf = b.astype(np.float32) / 255.0
+    from ssim_tpu.models.msssim import ms_ssim
+
+    g_pallas = jax.grad(
+        lambda x: 1.0 - ms_ssim(x, bf, data_range=1.0, impl="pallas")
+    )(af)
+    g_xla = jax.grad(
+        lambda x: 1.0 - ms_ssim(x, bf, data_range=1.0, impl="xla")
+    )(af)
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla), atol=1e-7)
+
+
+def test_pallas_ineligible_inputs_fall_back(rng):
+    """Shapes/dtypes the components kernel rejects must silently keep the
+    XLA path instead of raising (wide float scales, mixed dtypes)."""
+    from ssim_tpu.models.msssim import ms_ssim
+
+    # float32 wider than one tile: scale 0 cannot use the kernel.
+    a = rng.uniform(0, 255, (180, 4500)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 10, a.shape).astype(np.float32), 0, 255)
+    got = float(ms_ssim(a, b, impl="pallas"))
+    want = float(ms_ssim(a, b, impl="xla"))
+    assert got == pytest.approx(want, abs=1e-7)
+
+    # mixed dtypes
+    a8 = rng.integers(0, 256, (176, 192), dtype=np.uint8)
+    bf = a8.astype(np.float32)
+    got = float(ms_ssim(a8, bf, impl="pallas"))
+    want = float(ms_ssim(a8, bf, impl="xla"))
+    assert got == pytest.approx(want, abs=1e-7)
+
+    # u8 wider than ~2x one tile: the level-1 float scale cannot fit.
+    a8w = rng.integers(0, 256, (180, 8600), dtype=np.uint8)
+    b8w = np.clip(a8w.astype(np.int32) + rng.integers(-10, 10, a8w.shape), 0, 255).astype(np.uint8)
+    got = float(ms_ssim(a8w, b8w, impl="pallas"))
+    want = float(ms_ssim(a8w, b8w, impl="xla"))
+    assert got == pytest.approx(want, abs=1e-7)
