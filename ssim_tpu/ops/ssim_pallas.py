@@ -341,7 +341,7 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
                 # enough: it maps inf to 3.4e38, whose square overflows
                 # right back to inf.
                 raw = jnp.clip(
-                    jnp.nan_to_num(raw.astype(jnp.float32)), 0.0, 131072.0
+                    jnp.nan_to_num(raw.astype(jnp.float32)), -131072.0, 131072.0
                 )
             # In-VMEM clamp-to-edge lane halo (reference border rule,
             # src/ssim.cpp:540-555).
@@ -541,7 +541,7 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
                 return raw.astype(jnp.int32).astype(jnp.float32)
             # See the fast path's float-garbage note (0*inf = NaN).
             return jnp.clip(
-                jnp.nan_to_num(raw.astype(jnp.float32)), 0.0, 131072.0
+                jnp.nan_to_num(raw.astype(jnp.float32)), -131072.0, 131072.0
             )
 
         af = band_of(a00, a01, a10, a11)
@@ -682,7 +682,7 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
     jax.jit,
     static_argnames=(
         "with_map", "radius", "sigma", "data_range", "interpret",
-        "max_tile_h", "max_tile_w", "precise",
+        "max_tile_h", "max_tile_w", "precise", "allow_float",
     ),
 )
 def ssim_parts_pallas(
@@ -697,8 +697,10 @@ def ssim_parts_pallas(
     max_tile_h: int = TILE_H,
     max_tile_w: int = TILE_W,
     precise: bool = False,
+    allow_float: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """Fused-kernel SSIM. a, b: (H, W) or (B, H, W), uint8 (or castable).
+    """Fused-kernel SSIM. a, b: (H, W) or (B, H, W), uint8 (or, with
+    allow_float=True, float32 in [0, data_range]).
 
     Returns (partials, map or None): partials is (..., K) f32 per-tile
     sums of per-pixel SSIM over valid pixels (finalize with
@@ -711,27 +713,45 @@ def ssim_parts_pallas(
     (see _ssim_from_blurs_df32). Measured vs the f64 oracle it beats the
     reference's double-build error tier (README.md:92) by ~2 orders of
     magnitude at roughly half the f32-mode throughput.
+
+    allow_float=True opts into the float32 input path (an extension
+    beyond the reference's u8-only contract, used by the engine so float
+    images don't pay the XLA path's ~160 s/shape TPU compile): the
+    kernel sanitizes float bands (NaN input pixels become 0; values clip
+    to ±131072, which only affects garbage — real pixels live in
+    [0, data_range]). It stays opt-in so the default API surface keeps
+    the reference's u8 contract. Wide float images (beyond one tile)
+    still need the XLA path (the chunked path's pad kernel is u8-only).
     """
     if radius != RADIUS:
         raise ValueError("the fused kernel is specialized to radius 5, like the "
                          "reference's fast paths (src/ssim.cpp:364)")
-    if a.dtype != jnp.uint8 or b.dtype != jnp.uint8:
+    float_ok = (
+        allow_float and a.dtype == jnp.float32 and b.dtype == jnp.float32
+    )
+    if not float_ok and (a.dtype != jnp.uint8 or b.dtype != jnp.uint8):
         # Wider integers would silently wrap modulo 256 in the u8 cast
         # below; floats would be truncated. Refuse both rather than return
         # a wrong score.
         raise ValueError(
             f"the fused kernel is specialized to uint8 inputs (the "
             f"reference's only supported depth, README.md:107-111); got "
-            f"{a.dtype}/{b.dtype} — use the XLA path for float or wider "
-            f"integer images"
+            f"{a.dtype}/{b.dtype} — use allow_float=True for float32 "
+            f"images or the XLA path for wider integer dtypes"
         )
     squeeze = a.ndim == 2
     if squeeze:
         a = a[None]
         b = b[None]
     batch, h, w = a.shape
-    a = a.astype(jnp.uint8)
-    b = b.astype(jnp.uint8)
+    if not float_ok:
+        a = a.astype(jnp.uint8)
+        b = b.astype(jnp.uint8)
+    elif _round_up(w + 2 * radius, 128) > max_tile_w + COL_OVERLAP:
+        raise ValueError(
+            "float32 input wider than one tile is not supported (the pad "
+            "kernel of the chunked path is u8-only); use the XLA path"
+        )
 
     taps = gaussian_taps(np.float32, radius, sigma)
     c1 = float((0.01 * data_range) ** 2)

@@ -106,3 +106,53 @@ def test_fuzz_geometry(seed):
     noise = r.normal(0, 15, a.shape).astype(np.int32)
     b = np.clip(a.astype(np.int32) + noise, 0, 255).astype(np.uint8)
     _check(a, b)
+
+
+def test_float_input_fast_path_matches_oracle(rng):
+    """allow_float=True: float32 images ride the fused kernel (so TPU
+    users don't pay the XLA path's ~160 s compile). Extension beyond the
+    reference's u8 contract."""
+    from ssim_tpu.ops.ssim_pallas import ssim_parts_pallas
+
+    a = rng.random((67, 150)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.05, a.shape).astype(np.float32), 0, 1)
+    p, m = ssim_parts_pallas(a, b, with_map=True, data_range=1.0,
+                             interpret=True, allow_float=True)
+    want, want_map = reference.compute_ssim(a, b, with_map=True, data_range=1.0)
+    got = float(np.asarray(p, np.float64).sum() / a.size)
+    assert abs(got - want) < 1e-6
+    assert np.abs(np.asarray(m) - want_map).max() < 5e-6
+
+
+def test_float_negative_values_preserved(rng):
+    """The float band clip must only kill garbage — legitimate negative
+    pixel values (allowed by the float extension) survive."""
+    from ssim_tpu.ops.ssim_pallas import ssim_parts_pallas
+
+    a = (rng.random((40, 64)).astype(np.float32) - 0.3) * 2.0
+    b = a + rng.normal(0, 0.05, a.shape).astype(np.float32)
+    p, _ = ssim_parts_pallas(a, b, data_range=2.0, interpret=True,
+                             allow_float=True)
+    want, _ = reference.compute_ssim(a, b, data_range=2.0)
+    got = float(np.asarray(p, np.float64).sum() / a.size)
+    assert abs(got - want) < 1e-6
+
+
+def test_engine_routes_float_and_u16_to_pallas(rng):
+    """engine.compute with impl='pallas' sends float32 and uint16 images
+    through the fused kernel's float path (values exact as f32), not the
+    slow XLA fallback."""
+    from ssim_tpu import engine
+
+    af = rng.random((48, 64)).astype(np.float32)
+    bf = np.clip(af + rng.normal(0, 0.05, af.shape).astype(np.float32), 0, 1)
+    got, _ = engine.compute(af, bf, impl="pallas", data_range=1.0)
+    want, _ = reference.compute_ssim(af, bf, data_range=1.0)
+    assert abs(float(got) - want) < 1e-6
+
+    a16 = rng.integers(0, 65536, (48, 64), dtype=np.uint16)
+    b16 = np.clip(a16.astype(np.int32) + rng.normal(0, 2000, a16.shape).astype(np.int32),
+                  0, 65535).astype(np.uint16)
+    got, _ = engine.compute(a16, b16, impl="pallas", data_range=65535.0)
+    want, _ = reference.compute_ssim(a16, b16, data_range=65535.0)
+    assert abs(float(got) - want) < 2e-5
