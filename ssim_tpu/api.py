@@ -83,6 +83,15 @@ def compute_ssim_map(a, b, *, impl="auto", data_range: float = 255.0):
     return compute_ssim(a, b, with_map=True, impl=impl, data_range=data_range)
 
 
+def _float_fits(a) -> bool:
+    """Whether a float32 image fits the fused kernel's one-tile fast path
+    (the chunked path's pad kernel is u8-only)."""
+    from .ops.ssim_pallas import COL_OVERLAP, TILE_W, _round_up
+    from .windows import RADIUS
+
+    return _round_up(a.shape[-1] + 2 * RADIUS, 128) <= TILE_W + COL_OVERLAP
+
+
 def _jit_parts(impl):
     from .dispatch import backend_platform
 
@@ -94,15 +103,22 @@ def _jit_parts(impl):
         interpret = backend_platform() != "tpu"
 
         def parts(a, b, with_map, data_range):
-            # The fused kernel is uint8-only (reference README.md:107-111);
-            # wider/float dtypes fall back to the XLA path (same gate as
-            # engine.compute) instead of wrapping modulo 256.
-            if a.dtype != jnp.uint8 or b.dtype != jnp.uint8:
-                return ssim_parts_xla(a, b, with_map=with_map, data_range=data_range)
-            return ssim_parts_pallas(
-                a, b, with_map=with_map, data_range=data_range,
-                interpret=interpret,
-            )
+            # The fused kernel natively takes uint8 (the reference's only
+            # depth, README.md:107-111); float32 pairs that fit one tile
+            # ride its sanitized float path; everything else falls back
+            # to XLA (same gates as engine.compute) instead of wrapping
+            # modulo 256.
+            if a.dtype == jnp.uint8 and b.dtype == jnp.uint8:
+                return ssim_parts_pallas(
+                    a, b, with_map=with_map, data_range=data_range,
+                    interpret=interpret,
+                )
+            if a.dtype == jnp.float32 and b.dtype == jnp.float32 and _float_fits(a):
+                return ssim_parts_pallas(
+                    a, b, with_map=with_map, data_range=data_range,
+                    interpret=interpret, allow_float=True,
+                )
+            return ssim_parts_xla(a, b, with_map=with_map, data_range=data_range)
 
         return parts
     from .ops.ssim_xla import ssim_parts_xla
@@ -135,15 +151,57 @@ def ssim_and_map(
     return jnp.sum(partials, axis=-1) / n, ssim_map
 
 
-@functools.partial(jax.jit, static_argnames=("data_range",))
-def ssim_loss(a, b, *, data_range: float = 1.0) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("data_range", "impl"))
+def ssim_loss(a, b, *, data_range: float = 1.0, impl: str = "auto") -> jnp.ndarray:
     """Differentiable perceptual loss: 1 - mean SSIM over the batch.
 
     Defaults to data_range=1.0 (float images in [0, 1]), the common
     training convention; pass 255.0 for u8-range inputs.
+
+    impl: "auto" selects the fused Pallas kernel for the forward pass on
+    TPU (eligible float32 inputs) with a custom VJP routed through the
+    XLA formulation — fast forward, and the first grad call pays the XLA
+    compile; the same pattern as ms_ssim. "xla" forces the XLA path
+    throughout (the previous behavior).
     """
+    from .dispatch import Implementation, backend_platform
     from .ops.ssim_xla import ssim_parts_xla
 
-    row_sums, _ = ssim_parts_xla(a, b, with_map=False, data_range=data_range)
     n = a.shape[-1] * a.shape[-2]
-    return 1.0 - jnp.mean(jnp.sum(row_sums, axis=-1) / n)
+
+    def xla_loss(xa, xb):
+        row_sums, _ = ssim_parts_xla(xa, xb, with_map=False, data_range=data_range)
+        return 1.0 - jnp.mean(jnp.sum(row_sums, axis=-1) / n)
+
+    resolved = select_impl(impl)
+    use_pallas = (
+        resolved == Implementation.PALLAS
+        and a.dtype == jnp.float32
+        and b.dtype == jnp.float32
+        and _float_fits(a)
+    )
+    if not use_pallas:
+        return xla_loss(a, b)
+
+    from .ops.ssim_pallas import ssim_parts_pallas
+
+    interpret = backend_platform() != "tpu"
+
+    @jax.custom_vjp
+    def f(xa, xb):
+        partials, _ = ssim_parts_pallas(
+            xa, xb, with_map=False, data_range=data_range,
+            interpret=interpret, allow_float=True,
+        )
+        return 1.0 - jnp.mean(jnp.sum(partials, axis=-1) / n)
+
+    def f_fwd(xa, xb):
+        return f(xa, xb), (xa, xb)
+
+    def f_bwd(res, g):
+        xa, xb = res
+        _, vjp = jax.vjp(xla_loss, xa, xb)
+        return vjp(g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(a, b)

@@ -30,15 +30,22 @@ def _parts_fn(impl):
         interpret = backend_platform() != "tpu"
 
         def parts(a, b, with_map, data_range):
-            # uint8-only fused kernel; wider/float dtypes take the XLA
-            # path rather than wrapping modulo 256 (same gate as
-            # engine.compute and api._jit_parts).
-            if a.dtype != jnp.uint8 or b.dtype != jnp.uint8:
-                return ssim_parts_xla(a, b, with_map=with_map, data_range=data_range)
-            return ssim_parts_pallas(
-                a, b, with_map=with_map, data_range=data_range,
-                interpret=interpret,
-            )
+            # u8 natively; eligible f32 pairs via the sanitized float
+            # path; everything else XLA (same gates as engine.compute
+            # and api._jit_parts — never wrap modulo 256).
+            from ..api import _float_fits
+
+            if a.dtype == jnp.uint8 and b.dtype == jnp.uint8:
+                return ssim_parts_pallas(
+                    a, b, with_map=with_map, data_range=data_range,
+                    interpret=interpret,
+                )
+            if a.dtype == jnp.float32 and b.dtype == jnp.float32 and _float_fits(a):
+                return ssim_parts_pallas(
+                    a, b, with_map=with_map, data_range=data_range,
+                    interpret=interpret, allow_float=True,
+                )
+            return ssim_parts_xla(a, b, with_map=with_map, data_range=data_range)
 
         return parts
     from ..ops.ssim_xla import ssim_parts_xla

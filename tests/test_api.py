@@ -303,3 +303,35 @@ def test_strided_map_rejects_copy_buffers():
     ro.flags.writeable = False
     with pytest.raises(InvalidArgumentError, match="read-only"):
         write_strided_map(ro, m, step=1, stride=3)
+
+
+def test_ssim_loss_pallas_forward_grad(rng):
+    """ssim_loss impl='pallas': fused-kernel forward with the XLA-routed
+    custom VJP — value and gradient must match the XLA path."""
+    import jax
+
+    from ssim_tpu import ssim_loss
+
+    a = rng.random((2, 96, 128)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.05, a.shape).astype(np.float32), 0, 1)
+    lx = float(ssim_loss(a, b, impl="xla"))
+    lp = float(ssim_loss(a, b, impl="pallas"))
+    assert lp == pytest.approx(lx, abs=2e-6)
+    gx = jax.grad(lambda x: ssim_loss(x, b, impl="xla"))(a)
+    gp = jax.grad(lambda x: ssim_loss(x, b, impl="pallas"))(a)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-7)
+
+
+def test_jittable_float_via_pallas(rng):
+    """ssim()/ssim_and_map() route eligible f32 pairs through the fused
+    kernel's float path; results match XLA."""
+    from ssim_tpu import ssim, ssim_and_map
+
+    a = rng.random((50, 70)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.05, a.shape).astype(np.float32), 0, 1)
+    sx = float(ssim(a, b, data_range=1.0, impl="xla"))
+    sp = float(ssim(a, b, data_range=1.0, impl="pallas"))
+    assert sp == pytest.approx(sx, abs=2e-6)
+    g, m = ssim_and_map(a, b, data_range=1.0, impl="pallas")
+    assert m.shape == (50, 70)
+    assert float(g) == pytest.approx(sx, abs=2e-6)
