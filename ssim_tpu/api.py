@@ -83,15 +83,6 @@ def compute_ssim_map(a, b, *, impl="auto", data_range: float = 255.0):
     return compute_ssim(a, b, with_map=True, impl=impl, data_range=data_range)
 
 
-def _float_fits(a) -> bool:
-    """Whether a float32 image fits the fused kernel's one-tile fast path
-    (the chunked path's pad kernel is u8-only)."""
-    from .ops.ssim_pallas import COL_OVERLAP, TILE_W, _round_up
-    from .windows import RADIUS
-
-    return _round_up(a.shape[-1] + 2 * RADIUS, 128) <= TILE_W + COL_OVERLAP
-
-
 def _jit_parts(impl):
     from .dispatch import backend_platform
 
@@ -104,16 +95,15 @@ def _jit_parts(impl):
 
         def parts(a, b, with_map, data_range):
             # The fused kernel natively takes uint8 (the reference's only
-            # depth, README.md:107-111); float32 pairs that fit one tile
-            # ride its sanitized float path; everything else falls back
-            # to XLA (same gates as engine.compute) instead of wrapping
-            # modulo 256.
+            # depth, README.md:107-111); float32 pairs ride its sanitized
+            # float path; everything else falls back to XLA (same gates
+            # as engine.compute) instead of wrapping modulo 256.
             if a.dtype == jnp.uint8 and b.dtype == jnp.uint8:
                 return ssim_parts_pallas(
                     a, b, with_map=with_map, data_range=data_range,
                     interpret=interpret,
                 )
-            if a.dtype == jnp.float32 and b.dtype == jnp.float32 and _float_fits(a):
+            if a.dtype == jnp.float32 and b.dtype == jnp.float32:
                 return ssim_parts_pallas(
                     a, b, with_map=with_map, data_range=data_range,
                     interpret=interpret, allow_float=True,
@@ -178,7 +168,6 @@ def ssim_loss(a, b, *, data_range: float = 1.0, impl: str = "auto") -> jnp.ndarr
         resolved == Implementation.PALLAS
         and a.dtype == jnp.float32
         and b.dtype == jnp.float32
-        and _float_fits(a)
     )
     if not use_pallas:
         return xla_loss(a, b)

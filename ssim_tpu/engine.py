@@ -118,18 +118,12 @@ def compute(
 
         return host.compute(a, b, with_map=with_map, data_range=data_range)
 
-    from .ops.ssim_pallas import COL_OVERLAP, RADIUS, TILE_W, _round_up
-
-    max_tile_w = cfg.max_tile_w if cfg.max_tile_w is not None else TILE_W
     u8_pair = a.dtype == np.uint8 and b.dtype == np.uint8
-    # Extension dtypes can ride the fused kernel's float path instead of
+    # Extension dtypes ride the fused kernel's float path instead of
     # paying the XLA path's ~160 s/shape TPU compile: float32/float64
-    # images directly, uint16 exactly as f32 (<= 2^16 < 2^24). Wide float
-    # images still need XLA (the chunked path's pad kernel is u8-only).
-    float_pallas_ok = (
-        a.dtype == b.dtype
-        and (np.issubdtype(a.dtype, np.floating) or a.dtype == np.uint16)
-        and _round_up(a.shape[-1] + 2 * RADIUS, 128) <= max_tile_w + COL_OVERLAP
+    # images directly, uint16 exactly as f32 (<= 2^16 < 2^24).
+    float_pallas_ok = a.dtype == b.dtype and (
+        np.issubdtype(a.dtype, np.floating) or a.dtype == np.uint16
     )
     pallas_ok = u8_pair or float_pallas_ok
     if impl == Implementation.PALLAS and pallas_ok:

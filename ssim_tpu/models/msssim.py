@@ -119,25 +119,11 @@ def _ms_xla_forward(a, b, data_range, weights):
 def _pallas_eligible(a, b, levels):
     """Every pyramid scale must be a shape/dtype the components kernel
     accepts; anything else silently keeps the XLA path (same silent-
-    fallback convention as api._jit_parts)."""
-    from ..ops.ssim_pallas import COL_OVERLAP, RADIUS as R, TILE_W, _round_up
-
+    fallback convention as api._jit_parts). Width is unrestricted: u8
+    and f32 both have a chunked path (the pad kernel is dtype-generic)."""
     if a.ndim not in (2, 3) or a.dtype != b.dtype:
         return False
-    if a.dtype not in (jnp.uint8, jnp.float32):
-        return False
-
-    def fits_fast_path(width):
-        return _round_up(width + 2 * R, 128) <= TILE_W + COL_OVERLAP
-
-    w = a.shape[-1]
-    # Scale 0: u8 may use the chunked path (any width); f32 may not.
-    if a.dtype == jnp.float32 and not fits_fast_path(w):
-        return False
-    # Scales >= 1 are always f32 (2x2 means) and must fit one tile.
-    if levels >= 2 and not fits_fast_path(w // 2):
-        return False
-    return True
+    return a.dtype in (jnp.uint8, jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("data_range", "weights", "impl"))

@@ -54,8 +54,10 @@ def pad_align_pallas(
     tile_h: int = 32,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Edge-pad (B, H, W) u8 -> (B, hp, wp) u8, image top-left at
-    (ROW_OFF, COL_OFF); all out-of-image cells are edge replicas."""
+    """Edge-pad (B, H, W) -> (B, hp, wp) of the same dtype (u8 is the
+    parity dtype; f32 serves the float-extension chunked path — both tile
+    as (8,128)-aligned memrefs), image top-left at (ROW_OFF, COL_OFF);
+    all out-of-image cells are edge replicas."""
     batch, h, w = x.shape
     assert pad_supported(h, w, tile_h), (h, w)
     assert hp % tile_h == 0 and hp >= h + ROW_OFF, (hp, h)
@@ -131,12 +133,12 @@ def pad_align_pallas(
         kernel,
         grid=(batch, n_blocks),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_shape=jax.ShapeDtypeStruct((batch, hp, wp), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((batch, hp, wp), x.dtype),
         out_specs=pl.BlockSpec(
             (1, tile_h, wp), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile_h, wp), jnp.uint8),
+            pltpu.VMEM((tile_h, wp), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(

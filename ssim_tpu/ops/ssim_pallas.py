@@ -720,8 +720,8 @@ def ssim_parts_pallas(
     kernel sanitizes float bands (NaN input pixels become 0; values clip
     to ±131072, which only affects garbage — real pixels live in
     [0, data_range]). It stays opt-in so the default API surface keeps
-    the reference's u8 contract. Wide float images (beyond one tile)
-    still need the XLA path (the chunked path's pad kernel is u8-only).
+    the reference's u8 contract. Wide float images use the chunked path
+    over an f32 padded layout (the pad kernel is dtype-generic).
     """
     if radius != RADIUS:
         raise ValueError("the fused kernel is specialized to radius 5, like the "
@@ -747,11 +747,6 @@ def ssim_parts_pallas(
     if not float_ok:
         a = a.astype(jnp.uint8)
         b = b.astype(jnp.uint8)
-    elif _round_up(w + 2 * radius, 128) > max_tile_w + COL_OVERLAP:
-        raise ValueError(
-            "float32 input wider than one tile is not supported (the pad "
-            "kernel of the chunked path is u8-only); use the XLA path"
-        )
 
     taps = gaussian_taps(np.float32, radius, sigma)
     c1 = float((0.01 * data_range) ** 2)
@@ -803,12 +798,7 @@ def ssim_components_pallas(
     if a.dtype == jnp.uint8 and b.dtype == jnp.uint8:
         pass
     elif a.dtype == jnp.float32 and b.dtype == jnp.float32:
-        if _round_up(a.shape[-1] + 2 * RADIUS, 128) > max_tile_w + COL_OVERLAP:
-            raise ValueError(
-                "float32 components input wider than one tile is not "
-                "supported (the pad kernel of the chunked path is u8-only);"
-                " downsample first or use the XLA path"
-            )
+        pass
     else:
         raise ValueError(
             f"components kernel takes uint8 or float32 pairs, got "

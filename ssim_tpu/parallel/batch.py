@@ -33,14 +33,12 @@ def _parts_fn(impl):
             # u8 natively; eligible f32 pairs via the sanitized float
             # path; everything else XLA (same gates as engine.compute
             # and api._jit_parts — never wrap modulo 256).
-            from ..api import _float_fits
-
             if a.dtype == jnp.uint8 and b.dtype == jnp.uint8:
                 return ssim_parts_pallas(
                     a, b, with_map=with_map, data_range=data_range,
                     interpret=interpret,
                 )
-            if a.dtype == jnp.float32 and b.dtype == jnp.float32 and _float_fits(a):
+            if a.dtype == jnp.float32 and b.dtype == jnp.float32:
                 return ssim_parts_pallas(
                     a, b, with_map=with_map, data_range=data_range,
                     interpret=interpret, allow_float=True,

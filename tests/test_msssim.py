@@ -159,28 +159,32 @@ def test_pallas_impl_grad_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla), atol=1e-7)
 
 
-def test_pallas_ineligible_inputs_fall_back(rng):
-    """Shapes/dtypes the components kernel rejects must silently keep the
-    XLA path instead of raising (wide float scales, mixed dtypes)."""
+def test_pallas_wide_inputs_use_chunked_path(rng):
+    """Wide float/u8 pyramids run through the kernel's chunked path (the
+    pad kernel is dtype-generic) and must agree with XLA."""
     from ssim_tpu.models.msssim import ms_ssim
 
-    # float32 wider than one tile: scale 0 cannot use the kernel.
+    # float32 wider than one tile: scale 0 takes the f32 chunked path.
     a = rng.uniform(0, 255, (180, 4500)).astype(np.float32)
     b = np.clip(a + rng.normal(0, 10, a.shape).astype(np.float32), 0, 255)
     got = float(ms_ssim(a, b, impl="pallas"))
     want = float(ms_ssim(a, b, impl="xla"))
-    assert got == pytest.approx(want, abs=1e-7)
+    assert got == pytest.approx(want, abs=2e-5)
 
-    # mixed dtypes
-    a8 = rng.integers(0, 256, (176, 192), dtype=np.uint8)
-    bf = a8.astype(np.float32)
-    got = float(ms_ssim(a8, bf, impl="pallas"))
-    want = float(ms_ssim(a8, bf, impl="xla"))
-    assert got == pytest.approx(want, abs=1e-7)
-
-    # u8 wider than ~2x one tile: the level-1 float scale cannot fit.
+    # u8 wider than ~2x one tile: the level-1 float scale is also chunked.
     a8w = rng.integers(0, 256, (180, 8600), dtype=np.uint8)
     b8w = np.clip(a8w.astype(np.int32) + rng.integers(-10, 10, a8w.shape), 0, 255).astype(np.uint8)
     got = float(ms_ssim(a8w, b8w, impl="pallas"))
     want = float(ms_ssim(a8w, b8w, impl="xla"))
+    assert got == pytest.approx(want, abs=2e-5)
+
+
+def test_pallas_mixed_dtypes_fall_back(rng):
+    """Mixed-dtype pairs silently keep the XLA path."""
+    from ssim_tpu.models.msssim import ms_ssim
+
+    a8 = rng.integers(0, 256, (176, 192), dtype=np.uint8)
+    bf = a8.astype(np.float32)
+    got = float(ms_ssim(a8, bf, impl="pallas"))
+    want = float(ms_ssim(a8, bf, impl="xla"))
     assert got == pytest.approx(want, abs=1e-7)

@@ -156,3 +156,18 @@ def test_engine_routes_float_and_u16_to_pallas(rng):
     got, _ = engine.compute(a16, b16, impl="pallas", data_range=65535.0)
     want, _ = reference.compute_ssim(a16, b16, data_range=65535.0)
     assert abs(float(got) - want) < 2e-5
+
+
+def test_float_wide_chunked_path(rng):
+    """float32 images wider than one tile use the chunked path over an
+    f32 padded layout (dtype-generic pad kernel)."""
+    from ssim_tpu.ops.ssim_pallas import ssim_parts_pallas
+
+    a = rng.random((96, 4500)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.05, a.shape).astype(np.float32), 0, 1)
+    p, m = ssim_parts_pallas(a, b, with_map=True, data_range=1.0,
+                             interpret=True, allow_float=True)
+    want, want_map = reference.compute_ssim(a, b, with_map=True, data_range=1.0)
+    got = float(np.asarray(p, np.float64).sum() / a.size)
+    assert abs(got - want) < 1e-6
+    assert np.abs(np.asarray(m) - want_map).max() < 5e-6
