@@ -83,62 +83,81 @@ def compute_ssim_map(a, b, *, impl="auto", data_range: float = 255.0):
     return compute_ssim(a, b, with_map=True, impl=impl, data_range=data_range)
 
 
-def _jit_parts(impl):
+def _pallas_forward_with_xla_vjp(pallas_fn, xla_fn):
+    """Differentiable wrapper for float inputs: fused-kernel forward,
+    gradients via the XLA formulation's VJP (pallas_call has no AD rule).
+    The first grad call pays the XLA compile; forwards stay fast."""
+
+    @jax.custom_vjp
+    def f(xa, xb):
+        return pallas_fn(xa, xb)
+
+    def f_fwd(xa, xb):
+        return f(xa, xb), (xa, xb)
+
+    def f_bwd(res, g):
+        xa, xb = res
+        _, vjp = jax.vjp(xla_fn, xa, xb)
+        return vjp(g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def _run_metric(a, b, impl, data_range, with_map):
+    """Shared body of ssim/ssim_and_map: dtype routing (ops.routing), a
+    differentiable XLA-backed VJP for float inputs on the Pallas impl."""
     from .dispatch import backend_platform
-
-    impl = select_impl(impl)
-    if impl == Implementation.PALLAS:
-        from .ops.ssim_pallas import ssim_parts_pallas
-        from .ops.ssim_xla import ssim_parts_xla
-
-        interpret = backend_platform() != "tpu"
-
-        def parts(a, b, with_map, data_range):
-            # The fused kernel natively takes uint8 (the reference's only
-            # depth, README.md:107-111); float32 pairs ride its sanitized
-            # float path; everything else falls back to XLA (same gates
-            # as engine.compute) instead of wrapping modulo 256.
-            if a.dtype == jnp.uint8 and b.dtype == jnp.uint8:
-                return ssim_parts_pallas(
-                    a, b, with_map=with_map, data_range=data_range,
-                    interpret=interpret,
-                )
-            if a.dtype == jnp.float32 and b.dtype == jnp.float32:
-                return ssim_parts_pallas(
-                    a, b, with_map=with_map, data_range=data_range,
-                    interpret=interpret, allow_float=True,
-                )
-            return ssim_parts_xla(a, b, with_map=with_map, data_range=data_range)
-
-        return parts
+    from .ops.routing import pallas_routable, ssim_parts_auto
     from .ops.ssim_xla import ssim_parts_xla
 
-    def parts(a, b, with_map, data_range):
-        return ssim_parts_xla(a, b, with_map=with_map, data_range=data_range)
+    n = a.shape[-1] * a.shape[-2]
 
-    return parts
+    def finish(parts):
+        partials, ssim_map = parts
+        score = jnp.sum(partials, axis=-1) / n
+        return (score, ssim_map) if with_map else score
+
+    def xla_fn(xa, xb):
+        return finish(ssim_parts_xla(xa, xb, with_map=with_map, data_range=data_range))
+
+    resolved = select_impl(impl)
+    if resolved != Implementation.PALLAS or not pallas_routable(a, b):
+        return xla_fn(a, b)
+
+    interpret = backend_platform() != "tpu"
+
+    def pallas_fn(xa, xb):
+        return finish(
+            ssim_parts_auto(
+                xa, xb, with_map=with_map, data_range=data_range,
+                interpret=interpret,
+            )
+        )
+
+    if a.dtype == jnp.uint8:
+        return pallas_fn(a, b)  # u8 is not differentiable anyway
+    f = _pallas_forward_with_xla_vjp(pallas_fn, xla_fn)
+    return f(a, b)
 
 
 @functools.partial(jax.jit, static_argnames=("data_range", "impl"))
 def ssim(a, b, *, data_range: float = 255.0, impl: str = "auto") -> jnp.ndarray:
     """Jittable global SSIM, f32 on device. a, b: (..., H, W).
 
-    Returns scalar for 2-D inputs, (B,) for batched. Differentiable when
-    impl='xla'.
+    Returns scalar for 2-D inputs, (B,) for batched. Differentiable for
+    float inputs on every impl (the Pallas forward carries an XLA-routed
+    custom VJP) and on impl='xla' generally.
     """
-    partials, _ = _jit_parts(impl)(a, b, False, data_range)
-    n = a.shape[-1] * a.shape[-2]
-    return jnp.sum(partials, axis=-1) / n
+    return _run_metric(a, b, impl, data_range, with_map=False)
 
 
 @functools.partial(jax.jit, static_argnames=("data_range", "impl"))
 def ssim_and_map(
     a, b, *, data_range: float = 255.0, impl: str = "auto"
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Jittable (global_ssim, per-pixel map)."""
-    partials, ssim_map = _jit_parts(impl)(a, b, True, data_range)
-    n = a.shape[-1] * a.shape[-2]
-    return jnp.sum(partials, axis=-1) / n, ssim_map
+    """Jittable (global_ssim, per-pixel map). Differentiable like ssim()."""
+    return _run_metric(a, b, impl, data_range, with_map=True)
 
 
 @functools.partial(jax.jit, static_argnames=("data_range", "impl"))
@@ -149,48 +168,9 @@ def ssim_loss(a, b, *, data_range: float = 1.0, impl: str = "auto") -> jnp.ndarr
     training convention; pass 255.0 for u8-range inputs.
 
     impl: "auto" selects the fused Pallas kernel for the forward pass on
-    TPU (eligible float32 inputs) with a custom VJP routed through the
-    XLA formulation — fast forward, and the first grad call pays the XLA
-    compile; the same pattern as ms_ssim. "xla" forces the XLA path
-    throughout (the previous behavior).
+    TPU (float inputs) with a custom VJP routed through the XLA
+    formulation — fast forward; the first grad call pays the XLA
+    compile. "xla" forces the XLA path throughout.
     """
-    from .dispatch import Implementation, backend_platform
-    from .ops.ssim_xla import ssim_parts_xla
-
-    n = a.shape[-1] * a.shape[-2]
-
-    def xla_loss(xa, xb):
-        row_sums, _ = ssim_parts_xla(xa, xb, with_map=False, data_range=data_range)
-        return 1.0 - jnp.mean(jnp.sum(row_sums, axis=-1) / n)
-
-    resolved = select_impl(impl)
-    use_pallas = (
-        resolved == Implementation.PALLAS
-        and a.dtype == jnp.float32
-        and b.dtype == jnp.float32
-    )
-    if not use_pallas:
-        return xla_loss(a, b)
-
-    from .ops.ssim_pallas import ssim_parts_pallas
-
-    interpret = backend_platform() != "tpu"
-
-    @jax.custom_vjp
-    def f(xa, xb):
-        partials, _ = ssim_parts_pallas(
-            xa, xb, with_map=False, data_range=data_range,
-            interpret=interpret, allow_float=True,
-        )
-        return 1.0 - jnp.mean(jnp.sum(partials, axis=-1) / n)
-
-    def f_fwd(xa, xb):
-        return f(xa, xb), (xa, xb)
-
-    def f_bwd(res, g):
-        xa, xb = res
-        _, vjp = jax.vjp(xla_loss, xa, xb)
-        return vjp(g)
-
-    f.defvjp(f_fwd, f_bwd)
-    return f(a, b)
+    score = _run_metric(a, b, impl, data_range, with_map=False)
+    return 1.0 - jnp.mean(score)

@@ -118,33 +118,24 @@ def compute(
 
         return host.compute(a, b, with_map=with_map, data_range=data_range)
 
-    u8_pair = a.dtype == np.uint8 and b.dtype == np.uint8
-    # Extension dtypes ride the fused kernel's float path instead of
-    # paying the XLA path's ~160 s/shape TPU compile: float32/float64
-    # images directly, uint16 exactly as f32 (<= 2^16 < 2^24).
-    float_pallas_ok = a.dtype == b.dtype and (
-        np.issubdtype(a.dtype, np.floating) or a.dtype == np.uint16
-    )
-    pallas_ok = u8_pair or float_pallas_ok
-    if impl == Implementation.PALLAS and pallas_ok:
-        from .ops.ssim_pallas import ssim_parts_pallas
+    # Dtype routing lives in ops.routing (one policy shared with the
+    # jittable APIs and the sharded layers): u8 natively, float/f64/u16
+    # via the kernel's sanitized float path, anything else XLA.
+    from .ops.routing import pallas_routable, ssim_parts_auto
 
+    if impl == Implementation.PALLAS and pallas_routable(a, b):
         tile_kwargs = {}
         if cfg.max_tile_h is not None:
             tile_kwargs["max_tile_h"] = cfg.max_tile_h
         if cfg.max_tile_w is not None:
             tile_kwargs["max_tile_w"] = cfg.max_tile_w
-        if not u8_pair:
-            a = a.astype(np.float32)
-            b = b.astype(np.float32)
-        partials, ssim_map = ssim_parts_pallas(
+        partials, ssim_map = ssim_parts_auto(
             a,
             b,
             with_map=with_map,
             data_range=data_range,
             interpret=backend_platform() != "tpu",
             precise=precise,
-            allow_float=not u8_pair,
             **tile_kwargs,
         )
     else:

@@ -116,10 +116,10 @@ def _ms_xla_forward(a, b, data_range, weights):
     return result
 
 
-def _pallas_eligible(a, b, levels):
+def _pallas_eligible(a, b):
     """Every pyramid scale must be a shape/dtype the components kernel
     accepts; anything else silently keeps the XLA path (same silent-
-    fallback convention as api._jit_parts). Width is unrestricted: u8
+    fallback convention as api._run_metric). Width is unrestricted: u8
     and f32 both have a chunked path (the pad kernel is dtype-generic)."""
     if a.ndim not in (2, 3) or a.dtype != b.dtype:
         return False
@@ -152,9 +152,7 @@ def ms_ssim(
     _check_levels(a, levels)
 
     resolved = select_impl(impl)
-    use_pallas = resolved == Implementation.PALLAS and _pallas_eligible(
-        a, b, levels
-    )
+    use_pallas = resolved == Implementation.PALLAS and _pallas_eligible(a, b)
     if not use_pallas:
         return _ms_xla_forward(a, b, data_range, weights)
 

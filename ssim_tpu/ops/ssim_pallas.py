@@ -302,7 +302,7 @@ def clamped_band_matrices(tile_h: int, band: int, taps: np.ndarray,
 
 
 def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h,
-                        precise=False, components=False):
+                        precise=False, components=False, clip_bound=131072.0):
     """Zero-copy fast path: the RAW (B, H, W) images are consumed directly
     by the kernel — no padding pass at all. Each instance reads three
     row blocks per image (prev/cur/next via clamped index maps; ragged
@@ -314,6 +314,7 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
     """
     r = RADIUS
     batch = a.shape[0]
+    float_mode = a.dtype == jnp.float32
     tile_h = max(32, min(max_tile_h, 256) // 32 * 32)
     nh = -(-h // tile_h)
     band = tile_h + 16
@@ -332,16 +333,20 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
             if raw.dtype == jnp.uint8:
                 raw = raw.astype(jnp.int32).astype(jnp.float32)
             else:
-                # Float inputs (MS-SSIM pyramid scales): ragged edge
-                # blocks carry uninitialized garbage that can be NaN/inf
-                # or huge-finite, which the band matrices' zero weights
-                # cannot neutralize once squared (0*inf = NaN — observed
-                # on real TPU, not in interpret mode). u8 garbage is
-                # always finite and small. nan_to_num alone is NOT
-                # enough: it maps inf to 3.4e38, whose square overflows
-                # right back to inf.
+                # Float inputs: ragged edge blocks carry uninitialized
+                # VMEM garbage that can be NaN/inf or huge-finite, which
+                # the band matrices' zero weights cannot neutralize once
+                # squared (0*inf = NaN — observed on real TPU, not in
+                # interpret mode). u8 garbage is always finite and small.
+                # nan_to_num alone is NOT enough: it maps inf to 3.4e38,
+                # whose square overflows right back to inf. The clip
+                # bound scales with data_range so legitimate HDR-range
+                # pixels survive; real NaN/inf INPUT pixels are poisoned
+                # back into the outputs below (the sanitize here may only
+                # remove garbage, never hide bad input).
                 raw = jnp.clip(
-                    jnp.nan_to_num(raw.astype(jnp.float32)), -131072.0, 131072.0
+                    jnp.nan_to_num(raw.astype(jnp.float32)),
+                    -clip_bound, clip_bound,
                 )
             # In-VMEM clamp-to-edge lane halo (reference border rule,
             # src/ssim.cpp:540-555).
@@ -377,15 +382,31 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
             ssim = _ssim_from_blurs(*blurs, c1, c2)
             ssim_lo = None
 
+        def mask_last_rows(x):
+            rid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 0)
+            return jnp.where(rid < h - i * tile_h, x, 0.0)
+
+        if float_mode:
+            # The band sanitize above hides NaN/inf *input* pixels, which
+            # the XLA path would propagate as an invalid-input signal.
+            # Restore that contract: sum the tile's own valid (unsanitized)
+            # pixels and multiply by 0 — exactly 0.0 when all are finite,
+            # NaN otherwise — and poison every output with it.
+            src = ac_ref[0].astype(jnp.float32) + bc_ref[0].astype(jnp.float32)
+            if h % tile_h != 0:
+                src = mask_last_rows(src)  # uninitialized garbage rows
+            pois = jnp.sum(src) * 0.0
+            ssim = ssim + pois
+            if components:
+                cs = cs + pois
+            if precise:
+                ssim_lo = ssim_lo + pois
+
         if with_map:
             map_ref, sum_ref = out_refs
             map_ref[0] = ssim
         else:
             (sum_ref,) = out_refs
-
-        def mask_last_rows(x):
-            rid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 0)
-            return jnp.where(rid < h - i * tile_h, x, 0.0)
 
         if precise:
             # Compensated reduction; the lo-sum rides as an extra partial
@@ -476,17 +497,19 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
 MAX_CHUNK_W = 4096
 
 
-def _pick_chunk_w(w: int, tile_h: int = TILE_H) -> int:
+def _pick_chunk_w(w: int, tile_h: int = TILE_H, itemsize: int = 1) -> int:
     """Chunk width minimizing total computed lanes nc*(cw + 256): the
     256-lane halo concat argues for wide chunks, ragged last-chunk waste
     for chunks that divide the width. Measured on v5e at 8K: 3840 (exact
     2-chunk cover) runs 11.0 Gpix/s vs 9.8 for the fixed 2048/4096.
 
-    The VMEM working set scales with tile_h * chunk_w; 4096 lanes were
-    validated at tile_h 32, so the cap shrinks proportionally for taller
-    tiles (cfg.max_tile_h can push tile_h to 256).
+    The VMEM working set scales with tile_h * chunk_w * itemsize; 4096
+    u8 lanes were validated at tile_h 32, so the cap shrinks
+    proportionally for taller tiles (cfg.max_tile_h can push tile_h to
+    256) and for wider dtypes (the float path's blocks are 4x u8's).
     """
-    max_chunk = max(512, min(MAX_CHUNK_W, MAX_CHUNK_W * TILE_H // tile_h // 128 * 128))
+    budget = MAX_CHUNK_W * TILE_H // max(1, itemsize)
+    max_chunk = max(512, min(MAX_CHUNK_W, budget // tile_h // 128 * 128))
     best_cw, best_cost = None, None
     nc_min = -(-w // max_chunk)
     for nc in range(nc_min, nc_min + 4):
@@ -500,7 +523,7 @@ def _pick_chunk_w(w: int, tile_h: int = TILE_H) -> int:
 
 
 def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h,
-                          precise=False, components=False):
+                          precise=False, components=False, clip_bound=131072.0):
     """Wide-image path (w beyond one tile): the overlap design generalized
     to a 2-D grid of lane chunks — each kernel instance reads FOUR blocks
     per image (row-neighbor x lane-neighbor of the same padded array) and
@@ -513,9 +536,10 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
 
     r = RADIUS
     batch = a.shape[0]
+    float_mode = a.dtype == jnp.float32
     tile_h = max(32, min(max_tile_h, 256) // 32 * 32)
     nh = -(-h // tile_h)
-    chunk_w = _pick_chunk_w(w, tile_h)
+    chunk_w = _pick_chunk_w(w, tile_h, a.dtype.itemsize)
     nc = -(-w // chunk_w)
     hp = (nh + 1) * tile_h  # junk row block for the row-neighbor spec
     wp = (nc + 1) * chunk_w  # junk lane chunk for the lane-neighbor spec
@@ -541,7 +565,8 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
                 return raw.astype(jnp.int32).astype(jnp.float32)
             # See the fast path's float-garbage note (0*inf = NaN).
             return jnp.clip(
-                jnp.nan_to_num(raw.astype(jnp.float32)), -131072.0, 131072.0
+                jnp.nan_to_num(raw.astype(jnp.float32)),
+                -clip_bound, clip_bound,
             )
 
         af = band_of(a00, a01, a10, a11)
@@ -571,6 +596,22 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
         else:
             ssim = _ssim_from_blurs(*blurs, c1, c2)
             ssim_lo = None
+
+        if float_mode:
+            # NaN/inf input poisoning (see the fast path's note). The
+            # padded layout is fully deterministic (every cell is a real
+            # pixel or an edge replica of one), so the tile's own block
+            # needs no masking; a replica of a NaN pixel may poison a
+            # neighboring tile's sum too, which is harmless — the global
+            # score is already NaN from the pixel's own tile.
+            pois = jnp.sum(
+                a00[0].astype(jnp.float32) + b00[0].astype(jnp.float32)
+            ) * 0.0
+            ssim = ssim + pois
+            if components:
+                cs = cs + pois
+            if precise:
+                ssim_lo = ssim_lo + pois
 
         if with_map:
             map_ref, sum_ref = out_refs
@@ -755,15 +796,16 @@ def ssim_parts_pallas(
     # Images up to one tile wide take the zero-copy fast path (raw inputs,
     # per-tile clamp-folded band matrices); wider images use the padded
     # chunked path (four BlockSpecs per image: row x lane neighbors).
+    clip_bound = max(131072.0, 4.0 * float(data_range))
     if _round_up(w + 2 * radius, 128) <= max_tile_w + COL_OVERLAP:
         partials, ssim_map = _nopad_overlap_call(
             a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h,
-            precise=precise,
+            precise=precise, clip_bound=clip_bound,
         )
     else:
         partials, ssim_map = _chunked_overlap_call(
             a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h,
-            precise=precise,
+            precise=precise, clip_bound=clip_bound,
         )
     if squeeze:
         partials = partials[0]
@@ -814,15 +856,16 @@ def ssim_components_pallas(
     c1 = float((0.01 * data_range) ** 2)
     c2 = float((0.03 * data_range) ** 2)
 
+    clip_bound = max(131072.0, 4.0 * float(data_range))
     if _round_up(w + 2 * RADIUS, 128) <= max_tile_w + COL_OVERLAP:
         partials, _ = _nopad_overlap_call(
             a, b, h, w, taps, c1, c2, False, interpret, max_tile_h,
-            components=True,
+            components=True, clip_bound=clip_bound,
         )
     else:
         partials, _ = _chunked_overlap_call(
             a, b, h, w, taps, c1, c2, False, interpret, max_tile_h,
-            components=True,
+            components=True, clip_bound=clip_bound,
         )
     partials = partials.reshape(batch, -1, 2)
     if squeeze:

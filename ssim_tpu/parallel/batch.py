@@ -24,26 +24,17 @@ def _parts_fn(impl):
     kernel on TPU and the XLA path elsewhere."""
     impl = select_impl(impl)
     if impl == Implementation.PALLAS:
-        from ..ops.ssim_pallas import ssim_parts_pallas
-        from ..ops.ssim_xla import ssim_parts_xla
+        from ..ops.routing import ssim_parts_auto
 
         interpret = backend_platform() != "tpu"
 
         def parts(a, b, with_map, data_range):
-            # u8 natively; eligible f32 pairs via the sanitized float
-            # path; everything else XLA (same gates as engine.compute
-            # and api._jit_parts — never wrap modulo 256).
-            if a.dtype == jnp.uint8 and b.dtype == jnp.uint8:
-                return ssim_parts_pallas(
-                    a, b, with_map=with_map, data_range=data_range,
-                    interpret=interpret,
-                )
-            if a.dtype == jnp.float32 and b.dtype == jnp.float32:
-                return ssim_parts_pallas(
-                    a, b, with_map=with_map, data_range=data_range,
-                    interpret=interpret, allow_float=True,
-                )
-            return ssim_parts_xla(a, b, with_map=with_map, data_range=data_range)
+            # Shared dtype routing (ops.routing): u8/float/u16 ride the
+            # fused kernel, anything else XLA — never wrap modulo 256.
+            return ssim_parts_auto(
+                a, b, with_map=with_map, data_range=data_range,
+                interpret=interpret,
+            )
 
         return parts
     from ..ops.ssim_xla import ssim_parts_xla

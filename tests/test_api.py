@@ -335,3 +335,64 @@ def test_jittable_float_via_pallas(rng):
     g, m = ssim_and_map(a, b, data_range=1.0, impl="pallas")
     assert m.shape == (50, 70)
     assert float(g) == pytest.approx(sx, abs=2e-6)
+
+
+def test_nan_input_propagates(rng):
+    """A NaN input pixel must surface as a NaN score through the float
+    kernel path (the band sanitize may remove garbage, never hide bad
+    input) — parity with the XLA path's behavior."""
+    from ssim_tpu.ops.ssim_pallas import ssim_parts_pallas
+
+    a = rng.random((40, 64)).astype(np.float32)
+    b = a.copy()
+    a[13, 17] = np.nan
+    p, m = ssim_parts_pallas(a, b, with_map=True, data_range=1.0,
+                             interpret=True, allow_float=True)
+    assert np.isnan(np.asarray(p)).any()
+    assert np.isnan(np.asarray(m)).any()
+    # wide image -> chunked path
+    aw = rng.random((40, 4500)).astype(np.float32)
+    bw = aw.copy()
+    aw[20, 4000] = np.inf
+    p, _ = ssim_parts_pallas(aw, bw, data_range=1.0, interpret=True,
+                             allow_float=True)
+    assert np.isnan(np.asarray(p)).any()
+
+
+def test_hdr_data_range_correct(rng):
+    """Float images with large data_range must not be corrupted by the
+    garbage clip (its bound scales with data_range)."""
+    from ssim_tpu import engine, reference
+
+    a = (rng.random((48, 64)) * 1e6).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 3e4, a.shape).astype(np.float32), 0, 1e6)
+    got, _ = engine.compute(a, b, impl="pallas", data_range=1e6)
+    want, _ = reference.compute_ssim(a, b, data_range=1e6)
+    assert abs(float(got) - want) < 1e-5
+
+
+def test_ssim_grad_float_pallas(rng):
+    """jax.grad through ssim() with float inputs on the Pallas impl (the
+    default on TPU) must work — custom VJP through XLA."""
+    import jax
+
+    from ssim_tpu import ssim
+
+    a = rng.random((48, 64)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.05, a.shape).astype(np.float32), 0, 1)
+    gp = jax.grad(lambda x: ssim(x, b, data_range=1.0, impl="pallas"))(a)
+    gx = jax.grad(lambda x: ssim(x, b, data_range=1.0, impl="xla"))(a)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-7)
+
+
+def test_jittable_uint16_via_pallas(rng):
+    """uint16 pairs route through the fused kernel in the jittable APIs
+    too (shared ops.routing policy), matching XLA."""
+    from ssim_tpu import ssim
+
+    a16 = rng.integers(0, 65536, (48, 64), dtype=np.uint16)
+    b16 = np.clip(a16.astype(np.int32) + rng.normal(0, 2000, a16.shape).astype(np.int32),
+                  0, 65535).astype(np.uint16)
+    sp = float(ssim(a16, b16, data_range=65535.0, impl="pallas"))
+    sx = float(ssim(a16, b16, data_range=65535.0, impl="xla"))
+    assert sp == pytest.approx(sx, abs=2e-5)

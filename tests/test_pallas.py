@@ -171,3 +171,15 @@ def test_float_wide_chunked_path(rng):
     got = float(np.asarray(p, np.float64).sum() / a.size)
     assert abs(got - want) < 1e-6
     assert np.abs(np.asarray(m) - want_map).max() < 5e-6
+
+
+def test_engine_wide_float_chunked(rng):
+    """Wide float32 via engine (interpret on CPU, COMPILED on the TPU
+    suite — validates the f32 chunked path's VMEM budget on hardware)."""
+    from ssim_tpu import engine
+
+    a = rng.random((96, 9000)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.05, a.shape).astype(np.float32), 0, 1)
+    got, _ = engine.compute(a, b, impl="pallas", data_range=1.0)
+    want, _ = reference.compute_ssim(a, b, data_range=1.0)
+    assert abs(float(got) - want) < 1e-6
