@@ -183,3 +183,44 @@ def test_engine_wide_float_chunked(rng):
     got, _ = engine.compute(a, b, impl="pallas", data_range=1.0)
     want, _ = reference.compute_ssim(a, b, data_range=1.0)
     assert abs(float(got) - want) < 1e-6
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_float_and_precise_paths(seed):
+    """Randomized geometry/dtype/data_range fuzz over the float and
+    precise kernel modes vs the f64 oracle."""
+    r = np.random.default_rng(7000 + seed)
+    h = int(r.integers(1, 220))
+    w = int(r.integers(1, 2200))
+    mode = seed % 3
+    if mode == 0:  # float32, arbitrary data_range (exercises the clip bound)
+        dr = float(r.choice([1.0, 255.0, 1e4, 1e6]))
+        a = (r.random((h, w)) * dr).astype(np.float32)
+        b = np.clip(a + (r.normal(0, 0.04 * dr, a.shape)).astype(np.float32), 0, dr)
+        from ssim_tpu.ops.ssim_pallas import ssim_parts_pallas
+
+        p, m = ssim_parts_pallas(a, b, with_map=True, data_range=dr,
+                                 interpret=True, allow_float=True)
+        want, want_map = reference.compute_ssim(a, b, with_map=True, data_range=dr)
+        got = float(np.asarray(p, np.float64).sum() / a.size)
+        assert abs(got - want) < 5e-6
+        assert np.abs(np.asarray(m) - want_map).max() < 5e-5
+    elif mode == 1:  # uint16 through the engine routing
+        from ssim_tpu import engine
+
+        a = r.integers(0, 65536, (h, w)).astype(np.uint16)
+        b = np.clip(a.astype(np.int32) + r.normal(0, 2500, a.shape).astype(np.int32),
+                    0, 65535).astype(np.uint16)
+        got, _ = engine.compute(a, b, impl="pallas", data_range=65535.0)
+        want, _ = reference.compute_ssim(a, b, data_range=65535.0)
+        assert abs(float(got) - want) < 2e-5
+    else:  # precise mode, u8
+        from ssim_tpu.ops.ssim_pallas import ssim_parts_pallas
+
+        a = r.integers(0, 256, (h, w), dtype=np.uint8)
+        b = np.clip(a.astype(np.int32) + r.normal(0, 14, a.shape).astype(np.int32),
+                    0, 255).astype(np.uint8)
+        p, _ = ssim_parts_pallas(a, b, interpret=True, precise=True)
+        want, _ = reference.compute_ssim(a, b)
+        got = float(np.asarray(p, np.float64).sum() / a.size)
+        assert abs(got - want) < 5e-9
