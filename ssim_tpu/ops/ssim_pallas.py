@@ -382,10 +382,6 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
             ssim = _ssim_from_blurs(*blurs, c1, c2)
             ssim_lo = None
 
-        def mask_last_rows(x):
-            rid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 0)
-            return jnp.where(rid < h - i * tile_h, x, 0.0)
-
         if float_mode:
             # The band sanitize above hides NaN/inf *input* pixels, which
             # the XLA path would propagate as an invalid-input signal.
@@ -394,7 +390,9 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
             # NaN otherwise — and poison every output with it.
             src = ac_ref[0].astype(jnp.float32) + bc_ref[0].astype(jnp.float32)
             if h % tile_h != 0:
-                src = mask_last_rows(src)  # uninitialized garbage rows
+                # uninitialized garbage rows of the last ragged block
+                rid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 0)
+                src = jnp.where(rid < h - i * tile_h, src, 0.0)
             pois = jnp.sum(src) * 0.0
             ssim = ssim + pois
             if components:
@@ -408,39 +406,25 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
         else:
             (sum_ref,) = out_refs
 
+        # No in-kernel masking of the last ragged tile: its out-of-image
+        # rows have all-zero band-matrix weights, so their SSIM is the
+        # deterministic constant (c1*c2)/(c1*c2) = 1.0 exactly (hi=1,
+        # lo=0 in precise mode; l=cs=1 in components mode). The caller
+        # subtracts the known total as an extra partial — a lax.cond
+        # masked-sum here measured 2.3% of 4K throughput.
         if precise:
             # Compensated reduction; the lo-sum rides as an extra partial
             # and the host finalize f64-sums all partials, recovering
             # both the formula and the summation compensation.
-            def df_sums(m):
-                return _df_sum_2d(m(ssim), m(ssim_lo))
-
-            if h % tile_h == 0:
-                hi_s, lo_s = df_sums(lambda x: x)
-            else:
-                hi_s, lo_s = jax.lax.cond(
-                    i == nh - 1,
-                    lambda: df_sums(mask_last_rows),
-                    lambda: df_sums(lambda x: x),
-                )
+            hi_s, lo_s = _df_sum_2d(ssim, ssim_lo)
             sum_ref[0, 0, 0, 0] = hi_s
             sum_ref[0, 0, 0, 1] = lo_s
+        elif components:
+            # MS-SSIM components: [cs-sum, ssim-sum] per tile.
+            sum_ref[0, 0, 0, 0] = jnp.sum(cs)
+            sum_ref[0, 0, 0, 1] = jnp.sum(ssim)
         else:
-            def tile_sums(x):
-                if h % tile_h == 0:
-                    return jnp.sum(x)
-                return jax.lax.cond(
-                    i == nh - 1,
-                    lambda: jnp.sum(mask_last_rows(x)),
-                    lambda: jnp.sum(x),
-                )
-
-            if components:
-                # MS-SSIM components: [cs-sum, ssim-sum] per tile.
-                sum_ref[0, 0, 0, 0] = tile_sums(cs)
-                sum_ref[0, 0, 0, 1] = tile_sums(ssim)
-            else:
-                sum_ref[0, 0, 0, 0] = tile_sums(ssim)
+            sum_ref[0, 0, 0, 0] = jnp.sum(ssim)
 
     def spec(di):
         if di < 0:
@@ -489,7 +473,22 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
     else:
         (tile_sums,) = outs
         ssim_map = None
-    return tile_sums.reshape(batch, nh * n_sums), ssim_map
+    if h % tile_h != 0:
+        # Cancel the last ragged tile's garbage rows (exactly 1.0 each,
+        # see the kernel comment) with one extra negative partial; the
+        # value is an exact f32 integer and the engine's f64 finalize
+        # (or the jittable sum) absorbs it.
+        g = nh * tile_h - h
+        corr = np.zeros((1, 1, 1, n_sums), np.float32)
+        corr[..., 0] = -float(g * w)
+        if components:
+            corr[..., 1] = -float(g * w)
+        corr = jnp.broadcast_to(jnp.asarray(corr), (batch, 1, 1, n_sums))
+        tile_sums = jnp.concatenate([tile_sums, corr], axis=1)
+        nh_eff = nh + 1
+    else:
+        nh_eff = nh
+    return tile_sums.reshape(batch, nh_eff * n_sums), ssim_map
 
 
 #: Max lane-chunk width of the wide-image path (VMEM-bound; 4096 fits at
