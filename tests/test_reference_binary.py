@@ -101,3 +101,76 @@ def test_random_geometries_vs_reference_binary(rng, ref_lib, shape):
     tol = max(3e-6, 3e-3 / npix**0.5)
     assert abs(got - want) < tol, (got, want)
     assert np.abs(got_map - want_map).max() < 2e-3
+
+
+DOUBLE_BUILD_DIR = "/tmp/ssim_tpu_refbuild_double"
+
+
+@pytest.fixture(scope="module")
+def ref_lib_double():
+    """The reference built with RMGR_SSIM_USE_DOUBLE=ON — the build our
+    precision='f64' mode claims parity with (src/ssim_internal.h:26-37)."""
+    if not os.path.isfile(os.path.join(REFERENCE_DIR, "CMakeLists.txt")):
+        pytest.skip("reference checkout unavailable")
+    shim = os.path.join(DOUBLE_BUILD_DIR, "libref_shim.so")
+    if not os.path.isfile(shim):
+        try:
+            os.makedirs(DOUBLE_BUILD_DIR, exist_ok=True)
+            subprocess.run(
+                ["cmake", REFERENCE_DIR, "-DRMGR_SSIM_BUILD_CLI=OFF",
+                 "-DRMGR_SSIM_BUILD_TESTS=OFF", "-DRMGR_SSIM_BUILD_SAMPLE=OFF",
+                 "-DRMGR_SSIM_USE_DOUBLE=ON",
+                 "-DCMAKE_BUILD_TYPE=Release",
+                 "-DCMAKE_POSITION_INDEPENDENT_CODE=ON"],
+                cwd=DOUBLE_BUILD_DIR, check=True, capture_output=True, timeout=300,
+            )
+            subprocess.run(["make", "-j4", "rmgr-ssim"], cwd=DOUBLE_BUILD_DIR,
+                           check=True, capture_output=True, timeout=300)
+            shim_src = os.path.join(os.path.dirname(__file__), "reference_shim.c")
+            subprocess.run(
+                ["g++", "-O2", "-fPIC", "-shared", "-DRMGR_SSIM_USE_DOUBLE=1",
+                 "-o", shim, shim_src,
+                 "-I", os.path.join(REFERENCE_DIR, "include"),
+                 os.path.join(DOUBLE_BUILD_DIR, "librmgr-ssim.a")],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception as e:
+            pytest.skip(f"cannot build double reference library: {e}")
+    lib = ctypes.CDLL(shim)
+    lib.reference_compute_ssim.restype = ctypes.c_int
+    lib.reference_compute_ssim.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
+
+    def run(a, b):
+        a = np.ascontiguousarray(a, np.uint8)
+        b = np.ascontiguousarray(b, np.uint8)
+        h, w = a.shape
+        out = ctypes.c_float()
+        ssim_map = np.zeros((h, w), np.float32)
+        rc = lib.reference_compute_ssim(
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            w, h, ctypes.byref(out),
+            ssim_map.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        assert rc == 0, f"double reference returned errno {rc}"
+        return float(out.value), ssim_map
+
+    return run
+
+
+def test_precision_mode_vs_double_reference_binary(rng, ref_lib_double):
+    """Our precision='f64' mode vs the ACTUAL reference double build:
+    both sit within the double tier of the quad-precision truth (ours
+    ~1000x inside it), so they must agree to the double build's own
+    error level. The reference API returns the global as f32, so f32
+    rounding (~6e-8) floors the comparison."""
+    for shape in [(63, 255), (128, 200), (255, 63)]:
+        a, b = random_pair(rng, *shape)
+        want, want_map = ref_lib_double(a, b)
+        got, got_map = compute_ssim(a, b, with_map=True, precision="f64", impl="pallas")
+        assert abs(got - want) < 1e-6, (shape, got, want)
+        assert np.abs(got_map - want_map).max() < 2e-5, shape
