@@ -37,10 +37,13 @@ sum_tile) and all of its per-ISA SIMD backends. TPU-first design:
   max global error vs the f64 oracle ~5e-9, max per-pixel ~1.3e-6 —
   inside the reference's double-build tolerance tier.
 - Per-pixel SSIM (sum_tile equivalent, src/ssim.cpp:590-704) is evaluated
-  in f32; per-tile partial sums (masked to the valid image region) land in
-  SMEM and are finalized in f64 on the host, honoring the reference's
-  double-precision accumulation contract (src/ssim.cpp:594). This mirrors
-  the reference's per-thread partial sums + final reduce
+  in f32; per-tile partial sums land in SMEM and are finalized in f64 on
+  the host, honoring the reference's double-precision accumulation
+  contract (src/ssim.cpp:594). Tiles sum (ssim - 1) + exact valid count:
+  ragged tiles' garbage rows (deterministically 1.0 — zero band-matrix
+  weights) contribute exactly 0 without any masking, and the residual
+  sum's small magnitude buys finer f32 ulp everywhere. This mirrors the
+  reference's per-thread partial sums + final reduce
   (src/ssim.cpp:916,1098-1099).
 """
 
@@ -406,25 +409,32 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
         else:
             (sum_ref,) = out_refs
 
-        # No in-kernel masking of the last ragged tile: its out-of-image
+        # No in-kernel masking of the last ragged tile (a lax.cond
+        # masked-sum measured 2.3% of 4K throughput): its out-of-image
         # rows have all-zero band-matrix weights, so their SSIM is the
         # deterministic constant (c1*c2)/(c1*c2) = 1.0 exactly (hi=1,
-        # lo=0 in precise mode; l=cs=1 in components mode). The caller
-        # subtracts the known total as an extra partial — a lax.cond
-        # masked-sum here measured 2.3% of 4K throughput.
+        # lo=0 in precise mode; l=cs=1 in components mode). Summing
+        # (x - 1) makes those rows contribute exactly 0, and the exact
+        # valid-pixel count is added back as a scalar — which ALSO
+        # improves accuracy everywhere: the residual sum has magnitude
+        # ~|1-ssim|*n instead of n, so its f32 ulp is far finer.
+        n_valid = (
+            jnp.minimum(h - i * tile_h, tile_h).astype(jnp.float32) * w
+        )
         if precise:
             # Compensated reduction; the lo-sum rides as an extra partial
             # and the host finalize f64-sums all partials, recovering
             # both the formula and the summation compensation.
-            hi_s, lo_s = _df_sum_2d(ssim, ssim_lo)
+            hi_s, lo_s = _df_sum_2d(ssim - 1.0, ssim_lo)
+            hi_s, e = _two_sum(hi_s, n_valid)
             sum_ref[0, 0, 0, 0] = hi_s
-            sum_ref[0, 0, 0, 1] = lo_s
+            sum_ref[0, 0, 0, 1] = lo_s + e
         elif components:
             # MS-SSIM components: [cs-sum, ssim-sum] per tile.
-            sum_ref[0, 0, 0, 0] = jnp.sum(cs)
-            sum_ref[0, 0, 0, 1] = jnp.sum(ssim)
+            sum_ref[0, 0, 0, 0] = jnp.sum(cs - 1.0) + n_valid
+            sum_ref[0, 0, 0, 1] = jnp.sum(ssim - 1.0) + n_valid
         else:
-            sum_ref[0, 0, 0, 0] = jnp.sum(ssim)
+            sum_ref[0, 0, 0, 0] = jnp.sum(ssim - 1.0) + n_valid
 
     def spec(di):
         if di < 0:
@@ -473,22 +483,7 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
     else:
         (tile_sums,) = outs
         ssim_map = None
-    if h % tile_h != 0:
-        # Cancel the last ragged tile's garbage rows (exactly 1.0 each,
-        # see the kernel comment) with one extra negative partial; the
-        # value is an exact f32 integer and the engine's f64 finalize
-        # (or the jittable sum) absorbs it.
-        g = nh * tile_h - h
-        corr = np.zeros((1, 1, 1, n_sums), np.float32)
-        corr[..., 0] = -float(g * w)
-        if components:
-            corr[..., 1] = -float(g * w)
-        corr = jnp.broadcast_to(jnp.asarray(corr), (batch, 1, 1, n_sums))
-        tile_sums = jnp.concatenate([tile_sums, corr], axis=1)
-        nh_eff = nh + 1
-    else:
-        nh_eff = nh
-    return tile_sums.reshape(batch, nh_eff * n_sums), ssim_map
+    return tile_sums.reshape(batch, nh * n_sums), ssim_map
 
 
 #: Max lane-chunk width of the wide-image path (VMEM-bound; 4096 fits at
@@ -766,6 +761,11 @@ def ssim_parts_pallas(
     if radius != RADIUS:
         raise ValueError("the fused kernel is specialized to radius 5, like the "
                          "reference's fast paths (src/ssim.cpp:364)")
+    if data_range < 1e-6:
+        # c1*c2 = 9e-8 * data_range^4 must stay a normal f32 (TPUs flush
+        # subnormals): below this the formula itself degenerates and the
+        # ragged-tile garbage-rows-equal-1.0 identity breaks.
+        raise ValueError(f"data_range {data_range} too small (must be >= 1e-6)")
     float_ok = (
         allow_float and a.dtype == jnp.float32 and b.dtype == jnp.float32
     )

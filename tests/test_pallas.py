@@ -185,13 +185,14 @@ def test_engine_wide_float_chunked(rng):
     assert abs(float(got) - want) < 1e-6
 
 
-@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("seed", range(9))
 def test_fuzz_float_and_precise_paths(seed):
     """Randomized geometry/dtype/data_range fuzz over the float and
-    precise kernel modes vs the f64 oracle."""
+    precise kernel modes vs the f64 oracle; seeds >= 6 force wide
+    geometries so the chunked path gets coverage in every mode."""
     r = np.random.default_rng(7000 + seed)
     h = int(r.integers(1, 220))
-    w = int(r.integers(1, 2200))
+    w = int(r.integers(1, 2200)) if seed < 6 else int(r.integers(4300, 7000))
     mode = seed % 3
     if mode == 0:  # float32, arbitrary data_range (exercises the clip bound)
         dr = float(r.choice([1.0, 255.0, 1e4, 1e6]))

@@ -27,28 +27,34 @@ REFERENCE_DIR = "/root/reference"
 BUILD_DIR = "/tmp/ssim_tpu_refbuild"
 
 
-@pytest.fixture(scope="module")
-def ref_lib():
+def _build_and_load_ref(build_dir, extra_cmake_args=()):
+    """Build the reference library (out-of-source) + the C shim, return a
+    (a, b) -> (score, map) runner. Shared by the float- and double-build
+    fixtures so the recipe cannot drift between them."""
     if not os.path.isfile(os.path.join(REFERENCE_DIR, "CMakeLists.txt")):
         pytest.skip("reference checkout unavailable")
-    shim = os.path.join(BUILD_DIR, "libref_shim.so")
+    shim = os.path.join(build_dir, "libref_shim.so")
     if not os.path.isfile(shim):
         try:
-            os.makedirs(BUILD_DIR, exist_ok=True)
+            os.makedirs(build_dir, exist_ok=True)
             subprocess.run(
                 ["cmake", REFERENCE_DIR, "-DRMGR_SSIM_BUILD_CLI=OFF",
                  "-DRMGR_SSIM_BUILD_TESTS=OFF", "-DRMGR_SSIM_BUILD_SAMPLE=OFF",
                  "-DCMAKE_BUILD_TYPE=Release",
-                 "-DCMAKE_POSITION_INDEPENDENT_CODE=ON"],
-                cwd=BUILD_DIR, check=True, capture_output=True, timeout=300,
+                 "-DCMAKE_POSITION_INDEPENDENT_CODE=ON",
+                 *extra_cmake_args],
+                cwd=build_dir, check=True, capture_output=True, timeout=300,
             )
-            subprocess.run(["make", "-j4", "rmgr-ssim"], cwd=BUILD_DIR,
+            subprocess.run(["make", "-j4", "rmgr-ssim"], cwd=build_dir,
                            check=True, capture_output=True, timeout=300)
             shim_src = os.path.join(os.path.dirname(__file__), "reference_shim.c")
+            # The shim only uses the public API, whose types do not depend
+            # on RMGR_SSIM_USE_DOUBLE (always float*), so one compilation
+            # recipe serves both builds.
             subprocess.run(
                 ["g++", "-O2", "-fPIC", "-shared", "-o", shim,
                  shim_src, "-I", os.path.join(REFERENCE_DIR, "include"),
-                 os.path.join(BUILD_DIR, "librmgr-ssim.a")],
+                 os.path.join(build_dir, "librmgr-ssim.a")],
                 check=True, capture_output=True, timeout=120,
             )
         except Exception as e:
@@ -77,6 +83,11 @@ def ref_lib():
         return float(out.value), ssim_map
 
     return run
+
+
+@pytest.fixture(scope="module")
+def ref_lib():
+    return _build_and_load_ref(BUILD_DIR)
 
 
 def test_einstein_vs_reference_binary(ref_lib, images_dir):
@@ -110,56 +121,7 @@ DOUBLE_BUILD_DIR = "/tmp/ssim_tpu_refbuild_double"
 def ref_lib_double():
     """The reference built with RMGR_SSIM_USE_DOUBLE=ON — the build our
     precision='f64' mode claims parity with (src/ssim_internal.h:26-37)."""
-    if not os.path.isfile(os.path.join(REFERENCE_DIR, "CMakeLists.txt")):
-        pytest.skip("reference checkout unavailable")
-    shim = os.path.join(DOUBLE_BUILD_DIR, "libref_shim.so")
-    if not os.path.isfile(shim):
-        try:
-            os.makedirs(DOUBLE_BUILD_DIR, exist_ok=True)
-            subprocess.run(
-                ["cmake", REFERENCE_DIR, "-DRMGR_SSIM_BUILD_CLI=OFF",
-                 "-DRMGR_SSIM_BUILD_TESTS=OFF", "-DRMGR_SSIM_BUILD_SAMPLE=OFF",
-                 "-DRMGR_SSIM_USE_DOUBLE=ON",
-                 "-DCMAKE_BUILD_TYPE=Release",
-                 "-DCMAKE_POSITION_INDEPENDENT_CODE=ON"],
-                cwd=DOUBLE_BUILD_DIR, check=True, capture_output=True, timeout=300,
-            )
-            subprocess.run(["make", "-j4", "rmgr-ssim"], cwd=DOUBLE_BUILD_DIR,
-                           check=True, capture_output=True, timeout=300)
-            shim_src = os.path.join(os.path.dirname(__file__), "reference_shim.c")
-            subprocess.run(
-                ["g++", "-O2", "-fPIC", "-shared", "-DRMGR_SSIM_USE_DOUBLE=1",
-                 "-o", shim, shim_src,
-                 "-I", os.path.join(REFERENCE_DIR, "include"),
-                 os.path.join(DOUBLE_BUILD_DIR, "librmgr-ssim.a")],
-                check=True, capture_output=True, timeout=120,
-            )
-        except Exception as e:
-            pytest.skip(f"cannot build double reference library: {e}")
-    lib = ctypes.CDLL(shim)
-    lib.reference_compute_ssim.restype = ctypes.c_int
-    lib.reference_compute_ssim.argtypes = [
-        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
-        ctypes.c_uint32, ctypes.c_uint32,
-        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-    ]
-
-    def run(a, b):
-        a = np.ascontiguousarray(a, np.uint8)
-        b = np.ascontiguousarray(b, np.uint8)
-        h, w = a.shape
-        out = ctypes.c_float()
-        ssim_map = np.zeros((h, w), np.float32)
-        rc = lib.reference_compute_ssim(
-            a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            w, h, ctypes.byref(out),
-            ssim_map.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        )
-        assert rc == 0, f"double reference returned errno {rc}"
-        return float(out.value), ssim_map
-
-    return run
+    return _build_and_load_ref(DOUBLE_BUILD_DIR, ("-DRMGR_SSIM_USE_DOUBLE=ON",))
 
 
 def test_precision_mode_vs_double_reference_binary(rng, ref_lib_double):
