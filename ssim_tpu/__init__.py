@@ -21,6 +21,7 @@ from .params import ImageView, Params, write_strided_map
 from .windows import gaussian_taps, gaussian_kernel_2d, RADIUS, SIGMA, C1, C2
 from .api import (
     compute_ssim,
+    compute_ssim_legacy,
     compute_ssim_map,
     ssim,
     ssim_and_map,
@@ -47,6 +48,7 @@ __all__ = [
     "C1",
     "C2",
     "compute_ssim",
+    "compute_ssim_legacy",
     "compute_ssim_map",
     "ssim",
     "ssim_and_map",

@@ -83,6 +83,22 @@ def compute_ssim_map(a, b, *, impl="auto", data_range: float = 255.0):
     return compute_ssim(a, b, with_map=True, impl=impl, data_range=data_range)
 
 
+def compute_ssim_legacy(params: Params) -> float:
+    """Parity with the reference's deprecated float-returning overload
+    (include/rmgr/ssim.h:712-728, impl src/ssim.cpp:1109-1120): returns
+    the global SSIM, or the NEGATED errno as a float on failure instead
+    of raising — the error-encoding contract the reference's own test
+    harness exercises (tests/rmgr-ssim-tests.cpp:293-301). Prefer
+    compute_ssim (exceptions carry the same errno values)."""
+    from .errors import SsimError
+
+    try:
+        result = compute_ssim(params)
+    except SsimError as e:
+        return -float(e.errno)
+    return result[0] if isinstance(result, tuple) else result
+
+
 def _pallas_forward_with_xla_vjp(pallas_fn, xla_fn):
     """Differentiable wrapper for float inputs: fused-kernel forward,
     gradients via the XLA formulation's VJP (pallas_call has no AD rule).

@@ -396,3 +396,18 @@ def test_jittable_uint16_via_pallas(rng):
     sp = float(ssim(a16, b16, data_range=65535.0, impl="pallas"))
     sx = float(ssim(a16, b16, data_range=65535.0, impl="xla"))
     assert sp == pytest.approx(sx, abs=2e-5)
+
+
+def test_legacy_float_api(rng):
+    """Deprecated-overload parity (include/rmgr/ssim.h:712-728): the
+    legacy entry returns the score, or the negated errno as a float."""
+    import errno
+
+    from ssim_tpu import compute_ssim_legacy
+
+    a = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    p = Params(ImageView.from_gray(a), ImageView.from_gray(a), implementation="xla")
+    assert compute_ssim_legacy(p) == pytest.approx(1.0, abs=1e-6)
+
+    bad = Params(ImageView.from_gray(a), ImageView.from_gray(a), implementation="avx512")
+    assert compute_ssim_legacy(bad) == -float(errno.ENOSYS)
