@@ -63,8 +63,14 @@ def main(argv=None) -> int:
     img1_path, img2_path = argv[0], argv[1]
     map_path = argv[2] if len(argv) == 3 else None
 
+    from .config import enable_compile_cache
     from .multichannel import compute_ssim_channels
     from .utils import load_image, save_map
+
+    # Each CLI invocation is a fresh process; the persistent compilation
+    # cache turns the ~10-60 s first-shape TPU compile into a one-time
+    # cost (SSIM_TPU_COMPILE_CACHE=0 disables).
+    enable_compile_cache()
 
     try:
         img1 = load_image(img1_path)

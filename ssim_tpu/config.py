@@ -13,6 +13,13 @@ dataclass + environment variables:
 | Implementation enum override | impl= arg / SSIM_TPU_IMPL              |
 | tile/cache-line knobs        | max_tile_h / max_tile_w (Pallas tiles) |
 | RMGR_SSIM_NO_OPENMP          | n/a (host backend threads via OMP_NUM_THREADS) |
+
+New surface: `enable_compile_cache()` turns on JAX's persistent
+compilation cache (SSIM_TPU_COMPILE_CACHE overrides the directory, or
+set it to "0" to disable) — the eager CLI pays a fresh XLA/Mosaic
+compile per process otherwise (~10-60 s on TPU; warm-cache runs load in
+seconds). The reference has no analogue: its compile cost is paid once
+at library build time, ours at trace time.
 """
 
 import dataclasses
@@ -59,3 +66,27 @@ def get_config() -> Config:
 def set_config(cfg: Config) -> None:
     global _config
     _config = cfg
+
+
+def enable_compile_cache() -> Optional[str]:
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    Returns the cache directory, or None when disabled via
+    SSIM_TPU_COMPILE_CACHE=0. Used by the CLI so repeat invocations skip
+    the per-process XLA/Mosaic compile.
+    """
+    choice = os.environ.get("SSIM_TPU_COMPILE_CACHE", "")
+    if choice == "0":
+        return None
+    cache_dir = choice or os.path.join(
+        os.path.expanduser("~"), ".cache", "ssim_tpu", "xla_cache"
+    )
+    import jax
+
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # Cache everything, including fast compilations (the default only
+    # persists compilations above a time threshold).
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return cache_dir
