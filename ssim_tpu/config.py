@@ -79,7 +79,8 @@ def enable_compile_cache() -> Optional[str]:
     if choice == "0":
         return None
     cache_dir = choice or os.path.join(
-        os.path.expanduser("~"), ".cache", "ssim_tpu", "xla_cache"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache", "xla_cache",
     )
     import jax
 
