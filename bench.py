@@ -19,12 +19,9 @@ from ssim_tpu.testing.devicebench import device_throughput
 
 
 def main():
-    try:
-        from ssim_tpu.config import enable_compile_cache
+    from ssim_tpu.config import enable_compile_cache
 
-        enable_compile_cache()  # skip recompiles on repeat bench runs
-    except Exception:
-        pass
+    enable_compile_cache()  # best-effort; skips recompiles on repeat runs
     results = {}
     for name, kwargs in [
         ("pallas_4k_nomap", dict(impl="pallas", with_map=False, batch=4, h=2160, w=3840, iters=128)),

@@ -83,17 +83,21 @@ def compute_ssim_map(a, b, *, impl="auto", data_range: float = 255.0):
     return compute_ssim(a, b, with_map=True, impl=impl, data_range=data_range)
 
 
-def compute_ssim_legacy(params: Params) -> float:
+def compute_ssim_legacy(a, b=None, **kwargs) -> float:
     """Parity with the reference's deprecated float-returning overload
     (include/rmgr/ssim.h:712-728, impl src/ssim.cpp:1109-1120): returns
     the global SSIM, or the NEGATED errno as a float on failure instead
     of raising — the error-encoding contract the reference's own test
-    harness exercises (tests/rmgr-ssim-tests.cpp:293-301). Prefer
+    harness exercises (tests/rmgr-ssim-tests.cpp:293-301). Accepts the
+    same (a, b) / Params arguments as compute_ssim; note that
+    constructing an inconsistent Params object raises at construction
+    time (before this function can encode it), so pass raw images when
+    the negative-errno encoding must cover shape errors. Prefer
     compute_ssim (exceptions carry the same errno values)."""
     from .errors import SsimError
 
     try:
-        result = compute_ssim(params)
+        result = compute_ssim(a, b, **kwargs)
     except SsimError as e:
         return -float(e.errno)
     return result[0] if isinstance(result, tuple) else result

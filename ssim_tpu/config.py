@@ -69,25 +69,40 @@ def set_config(cfg: Config) -> None:
 
 
 def enable_compile_cache() -> Optional[str]:
-    """Enable JAX's persistent compilation cache (idempotent).
+    """Enable JAX's persistent compilation cache (idempotent, best-effort).
 
     Returns the cache directory, or None when disabled via
-    SSIM_TPU_COMPILE_CACHE=0. Used by the CLI so repeat invocations skip
-    the per-process XLA/Mosaic compile.
+    SSIM_TPU_COMPILE_CACHE=0 or when the directory isn't usable (an
+    unwritable install never breaks callers — they just recompile).
+    Used by the CLI so repeat invocations skip the per-process
+    XLA/Mosaic compile.
+
+    Default location: `<source checkout>/.cache/xla_cache` when running
+    from a source tree (pyproject.toml present), else the per-user
+    `~/.cache/ssim_tpu/xla_cache` (never inside site-packages).
     """
     choice = os.environ.get("SSIM_TPU_COMPILE_CACHE", "")
     if choice == "0":
         return None
-    cache_dir = choice or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".cache", "xla_cache",
-    )
-    import jax
+    if choice:
+        cache_dir = choice
+    else:
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if os.path.isfile(os.path.join(pkg_root, "pyproject.toml")):
+            cache_dir = os.path.join(pkg_root, ".cache", "xla_cache")
+        else:
+            cache_dir = os.path.join(
+                os.path.expanduser("~"), ".cache", "ssim_tpu", "xla_cache"
+            )
+    try:
+        import jax
 
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    # Cache everything, including fast compilations (the default only
-    # persists compilations above a time threshold).
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # Cache everything, including fast compilations (the default only
+        # persists compilations above a time threshold).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        return None  # degrade to no cache, never break the caller
     return cache_dir

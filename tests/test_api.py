@@ -411,3 +411,34 @@ def test_legacy_float_api(rng):
 
     bad = Params(ImageView.from_gray(a), ImageView.from_gray(a), implementation="avx512")
     assert compute_ssim_legacy(bad) == -float(errno.ENOSYS)
+
+
+def test_legacy_api_encodes_shape_mismatch(rng):
+    """Raw-image legacy calls encode EINVAL for mismatched shapes (the
+    reference's most common deprecated-overload error path)."""
+    import errno
+
+    from ssim_tpu import compute_ssim_legacy
+
+    a = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    b = rng.integers(0, 256, (9, 8), dtype=np.uint8)
+    assert compute_ssim_legacy(a, b) == -float(errno.EINVAL)
+
+
+def test_compile_cache_degrades_gracefully(monkeypatch, tmp_path):
+    """enable_compile_cache never raises: unwritable dirs degrade to no
+    cache (None), explicit dirs are honored, '0' disables."""
+    from ssim_tpu.config import enable_compile_cache
+
+    monkeypatch.setenv("SSIM_TPU_COMPILE_CACHE", "0")
+    assert enable_compile_cache() is None
+
+    target = tmp_path / "cachedir"
+    monkeypatch.setenv("SSIM_TPU_COMPILE_CACHE", str(target))
+    assert enable_compile_cache() == str(target)
+    assert target.is_dir()
+
+    blocked = tmp_path / "blocked_file"
+    blocked.write_text("")  # a file where a parent dir is needed: makedirs
+    monkeypatch.setenv("SSIM_TPU_COMPILE_CACHE", str(blocked / "sub"))
+    assert enable_compile_cache() is None  # OSError swallowed (works as root)
