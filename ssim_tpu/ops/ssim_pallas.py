@@ -613,54 +613,41 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
         else:
             (sum_ref,) = out_refs
 
+        # Ragged edges: unlike the fast path (whose garbage rows are a
+        # known constant via zero band weights), chunked garbage cells
+        # are edge REPLICAS of real pixels — real-valued SSIM — so they
+        # must be masked. An unconditional where-mask beats the previous
+        # lax.cond(masked, plain) (Mosaic evaluates both branches); and
+        # summing (x - 1) + the exact valid count keeps the residual
+        # magnitude small, like the fast path.
         partial_rows = h % tile_h != 0
         partial_cols = w % chunk_w != 0
 
-        def edge_cond():
-            conds = []
-            if partial_rows:
-                conds.append(i == nh - 1)
-            if partial_cols:
-                conds.append(c == nc - 1)
-            return conds[0] if len(conds) == 1 else jnp.logical_or(*conds)
-
         def mask_edges(x):
+            if not partial_rows and not partial_cols:
+                return x
             rid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, chunk_w), 0)
             cid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, chunk_w), 1)
             mask = (rid < h - i * tile_h) & (cid < w - c * chunk_w)
             return jnp.where(mask, x, 0.0)
 
+        n_valid = (
+            jnp.minimum(h - i * tile_h, tile_h).astype(jnp.float32)
+            * jnp.minimum(w - c * chunk_w, chunk_w).astype(jnp.float32)
+        )
         if precise:
             # Compensated reduction; lo-sums ride as extra partials for
-            # the host f64 finalize.
-            def df_sums(m):
-                return _df_sum_2d(m(ssim), m(ssim_lo))
-
-            if not partial_rows and not partial_cols:
-                hi_s, lo_s = df_sums(lambda x: x)
-            else:
-                hi_s, lo_s = jax.lax.cond(
-                    edge_cond(),
-                    lambda: df_sums(mask_edges),
-                    lambda: df_sums(lambda x: x),
-                )
+            # the host f64 finalize. (x-1) is masked, not x-1 of the
+            # mask: garbage cells must contribute 0, not -1.
+            hi_s, lo_s = _df_sum_2d(mask_edges(ssim - 1.0), mask_edges(ssim_lo))
+            hi_s, e = _two_sum(hi_s, n_valid)
             sum_ref[0, 0, 0, 0, 0] = hi_s
-            sum_ref[0, 0, 0, 0, 1] = lo_s
+            sum_ref[0, 0, 0, 0, 1] = lo_s + e
+        elif components:
+            sum_ref[0, 0, 0, 0, 0] = jnp.sum(mask_edges(cs - 1.0)) + n_valid
+            sum_ref[0, 0, 0, 0, 1] = jnp.sum(mask_edges(ssim - 1.0)) + n_valid
         else:
-            def tile_sums(x):
-                if not partial_rows and not partial_cols:
-                    return jnp.sum(x)
-                return jax.lax.cond(
-                    edge_cond(),
-                    lambda: jnp.sum(mask_edges(x)),
-                    lambda: jnp.sum(x),
-                )
-
-            if components:
-                sum_ref[0, 0, 0, 0, 0] = tile_sums(cs)
-                sum_ref[0, 0, 0, 0, 1] = tile_sums(ssim)
-            else:
-                sum_ref[0, 0, 0, 0, 0] = tile_sums(ssim)
+            sum_ref[0, 0, 0, 0, 0] = jnp.sum(mask_edges(ssim - 1.0)) + n_valid
 
     pa = pad_align(a, hp, wp, tile_h, interpret=interpret)
     pb = pad_align(b, hp, wp, tile_h, interpret=interpret)
