@@ -40,6 +40,10 @@ def _suite_pairs(images_dir: str, quick: bool):
 def run_report(quick: bool = False, out=sys.stdout):
     import jax
 
+    from ssim_tpu.config import enable_compile_cache
+
+    enable_compile_cache()  # the XLA impl costs ~160 s/shape on TPU uncached
+
     from ssim_tpu import reference
     from ssim_tpu.dispatch import available_impls, Implementation
     from ssim_tpu import engine
