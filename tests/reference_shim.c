@@ -32,3 +32,34 @@ int reference_compute_ssim(const uint8_t* a, const uint8_t* b,
     rmgr_ssim_use_default_allocator(&params);
     return rmgr_ssim_compute_ssim(out_ssim, &params, NULL);
 }
+
+/* Fully general layout entry: raw topLeft/step/stride per image (bytes)
+ * and ssimStep/ssimStride for the map (floats) — exercises the
+ * reference's documented addressing contract (include/rmgr/ssim.h:481-488
+ * and :514-516) so ssim_tpu's ImageView.from_strided / Params map layout
+ * can be validated against the reference binary on interleaved,
+ * bottom-up, and subsampled-map layouts, not just contiguous ones. */
+#ifdef __cplusplus
+extern "C"
+#endif
+int reference_compute_ssim_strided(
+    const uint8_t* a_topleft, ptrdiff_t a_step, ptrdiff_t a_stride,
+    const uint8_t* b_topleft, ptrdiff_t b_step, ptrdiff_t b_stride,
+    uint32_t width, uint32_t height, float* out_ssim,
+    float* map_topleft, ptrdiff_t map_step, ptrdiff_t map_stride) {
+    rmgr_ssim_Params params;
+    for (size_t i = 0; i < sizeof(params); ++i) ((char*)&params)[i] = 0;
+    params.width = width;
+    params.height = height;
+    params.imgA.topLeft = a_topleft;
+    params.imgA.step = a_step;
+    params.imgA.stride = a_stride;
+    params.imgB.topLeft = b_topleft;
+    params.imgB.step = b_step;
+    params.imgB.stride = b_stride;
+    params.ssimMap = map_topleft;
+    params.ssimStep = map_step;
+    params.ssimStride = map_stride;
+    rmgr_ssim_use_default_allocator(&params);
+    return rmgr_ssim_compute_ssim(out_ssim, &params, NULL);
+}
