@@ -39,12 +39,18 @@ def compute_ssim(
     impl=None,
     data_range: float = 255.0,
     precision=None,
+    downsample=None,
 ):
     """Global SSIM of two single-channel images (or batches of them).
 
     Accepts either (a, b) as arrays/ImageViews, or a single `Params`.
     Returns `float` (or (B,) float64 array), or `(score, map)` when
     `with_map`. Parity: rmgr::ssim::compute_ssim (src/ssim.cpp:933-1106).
+
+    downsample (extension, default off = reference parity): "auto" or an
+    int k — the Wang/pytorch-msssim k x k box-mean prefilter; the score
+    and map then describe the pooled (H//k, W//k) image. Incompatible
+    with a Params map_buffer (its layout is sized to the full image).
     """
     params = None
     if isinstance(a, Params):
@@ -55,9 +61,16 @@ def compute_ssim(
         with_map = params.with_map or params.map_buffer is not None
         impl = params.implementation
         data_range = params.data_range
+    if downsample is not None and params is not None and params.map_buffer is not None:
+        from .errors import InvalidArgumentError
+
+        raise InvalidArgumentError(
+            "downsample produces a pooled-size map; a strided map_buffer "
+            "is laid out for the full image — drop one of the two"
+        )
     score, ssim_map = engine.compute(
         _unwrap(a), _unwrap(b), with_map=with_map, impl=impl,
-        data_range=data_range, precision=precision,
+        data_range=data_range, precision=precision, downsample=downsample,
     )
     if params is not None and params.map_buffer is not None:
         # Reference ssimStep/ssimStride map layout (include/rmgr/ssim.h:514-516).

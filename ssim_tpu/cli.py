@@ -26,7 +26,9 @@ def print_help(file=sys.stdout):
         "      For images with <= 2 channels, only channel 0's SSIM will be computed\n"
         "      For images with >= 3 channels, first three channels are converted from RGB to Y\n"
         "  --ms Compute multi-scale SSIM (MS-SSIM) instead of SSIM\n"
-        "  --impl=NAME  Force implementation (auto/xla/pallas/reference/host)\n\n"
+        "  --impl=NAME  Force implementation (auto/xla/pallas/reference/host)\n"
+        "  --downsample[=auto|K]  Box-mean prefilter (Wang round(min/256)\n"
+        "      factor, or explicit K); the map is then pooled-size\n\n"
     )
 
 
@@ -41,6 +43,7 @@ def main(argv=None) -> int:
     luminance = False
     multiscale = False
     impl = "auto"
+    downsample = None
 
     while argv and argv[0].startswith("-"):
         opt = argv.pop(0)
@@ -52,6 +55,15 @@ def main(argv=None) -> int:
             multiscale = True
         elif opt.startswith("--impl="):
             impl = opt.split("=", 1)[1]
+        elif opt == "--downsample" or opt.startswith("--downsample="):
+            val = opt.split("=", 1)[1] if "=" in opt else "auto"
+            if val != "auto":
+                try:
+                    val = int(val)
+                except ValueError:
+                    sys.stderr.write(f"Bad --downsample value: {val}\n")
+                    return 1
+            downsample = val
         else:
             sys.stderr.write(f"Unknown option: {opt}\n")
             return 1
@@ -125,6 +137,7 @@ def main(argv=None) -> int:
             luminance=luminance,
             with_map=map_path is not None,
             impl=impl,
+            downsample=downsample,
         )
     except Exception as e:
         sys.stderr.write(f"{e}\n")

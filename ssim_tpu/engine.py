@@ -53,6 +53,32 @@ def finalize_mean(partials: np.ndarray, npix: int) -> np.ndarray:
     return ps.sum(axis=-1) / np.float64(npix)
 
 
+def downsample_factor(h: int, w: int) -> int:
+    """The Wang-reference automatic prefilter factor: f = round(min/256).
+
+    From the original MATLAB ssim_index.m (and adopted verbatim by
+    pytorch-msssim and most IQA toolkits): large images are box-filtered
+    and decimated so the 11x11 window keeps a perceptually meaningful
+    footprint. Extension — the rmgr reference never downsamples.
+    """
+    return max(1, int(round(min(h, w) / 256.0)))
+
+
+def box_decimate(x: np.ndarray, k: int) -> np.ndarray:
+    """k x k box mean + decimation (avg_pool, stride k, no padding); the
+    trailing h % k / w % k pixels are dropped, matching avg-pool practice
+    (pytorch-msssim F.avg_pool2d). Means are taken in f64, emitted f32."""
+    h, w = x.shape[-2], x.shape[-1]
+    hh, ww = h // k, w // k
+    if hh < 1 or ww < 1:
+        raise InvalidArgumentError(
+            f"downsample factor {k} collapses a {h}x{w} image"
+        )
+    x = x[..., : hh * k, : ww * k].astype(np.float64)
+    x = x.reshape(x.shape[:-2] + (hh, k, ww, k)).mean(axis=(-3, -1))
+    return x.astype(np.float32)
+
+
 def compute(
     a,
     b,
@@ -61,6 +87,7 @@ def compute(
     impl=None,
     data_range: float = 255.0,
     precision: Optional[str] = None,
+    downsample=None,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Run SSIM end-to-end on host arrays.
 
@@ -72,6 +99,11 @@ def compute(
     df32 (ssim_parts_pallas(precise=True)), measured 2+ orders of
     magnitude inside the reference double build's error tier; non-u8
     inputs or non-Pallas impls fall back to the host NumPy f64 oracle.
+    downsample: None (reference parity — never downsample), "auto" (the
+    Wang round(min/256) factor), or an int k >= 1: k x k box-mean +
+    decimate prefilter (extension). The score and map then describe the
+    pooled image (map is (H//k, W//k)); pooled pixels are float, so the
+    computation rides the float path at full kernel speed.
     Returns (global_ssim float64 scalar or (B,), map f32 or None).
     """
     from .config import get_config
@@ -84,6 +116,16 @@ def compute(
     a = np.asarray(a)
     b = np.asarray(b)
     validate_pair(a, b)
+    if downsample is not None:
+        if downsample == "auto":
+            downsample = downsample_factor(a.shape[-2], a.shape[-1])
+        if not isinstance(downsample, int) or downsample < 1:
+            raise InvalidArgumentError(
+                f'downsample must be "auto" or an int >= 1, got {downsample!r}'
+            )
+        if downsample > 1:
+            a = box_decimate(a, downsample)
+            b = box_decimate(b, downsample)
     if precision not in ("f32", "f64"):
         raise InvalidArgumentError(f"precision must be f32 or f64, got {precision!r}")
     impl = select_impl(impl)

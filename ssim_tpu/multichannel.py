@@ -43,8 +43,13 @@ def compute_ssim_channels(
     with_map: bool = False,
     impl="auto",
     data_range: float = 255.0,
+    downsample=None,
 ) -> ChannelResult:
-    """Multi-channel SSIM with the reference CLI's channel policy."""
+    """Multi-channel SSIM with the reference CLI's channel policy.
+
+    downsample: None / "auto" / int k — the Wang box-mean prefilter
+    extension (see engine.compute); applied per channel after the
+    channel policy, so -y pools the luminance plane."""
     a = np.asarray(a)
     b = np.asarray(b)
     if a.shape != b.shape:
@@ -71,7 +76,8 @@ def compute_ssim_channels(
             b_stack = b_stack[channel : channel + 1]
 
     scores, maps = engine.compute(
-        a_stack, b_stack, with_map=with_map, impl=impl, data_range=data_range
+        a_stack, b_stack, with_map=with_map, impl=impl, data_range=data_range,
+        downsample=downsample,
     )
     scores = np.atleast_1d(np.asarray(scores, dtype=np.float64))
     per_channel = [float(s) for s in scores]
