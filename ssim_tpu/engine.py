@@ -119,10 +119,15 @@ def compute(
     if downsample is not None:
         if downsample == "auto":
             downsample = downsample_factor(a.shape[-2], a.shape[-1])
-        if not isinstance(downsample, int) or downsample < 1:
+        if (
+            isinstance(downsample, bool)  # True would silently mean k=1
+            or not isinstance(downsample, (int, np.integer))
+            or downsample < 1
+        ):
             raise InvalidArgumentError(
                 f'downsample must be "auto" or an int >= 1, got {downsample!r}'
             )
+        downsample = int(downsample)
         if downsample > 1:
             a = box_decimate(a, downsample)
             b = box_decimate(b, downsample)

@@ -72,6 +72,19 @@ def compute(
     lib = _load()
     if lib is None:
         raise RuntimeError("host backend not built; run `make -C native`")
+    if a.dtype != np.uint8 or b.dtype != np.uint8:
+        # The C backend takes u8 buffers; an implicit astype here would
+        # silently truncate floats / wrap wider integers (the same bug
+        # class the fused kernel guards against). The reference itself
+        # is u8-only (README.md:107-111); float/u16 extensions live on
+        # the XLA/Pallas paths.
+        from ..errors import InvalidArgumentError
+
+        raise InvalidArgumentError(
+            f"impl='host' supports uint8 images only, got {a.dtype}/"
+            f"{b.dtype}; use impl='auto'/'pallas'/'xla' for float or "
+            f"wider-integer inputs"
+        )
     squeeze = a.ndim == 2
     if squeeze:
         a = a[None]

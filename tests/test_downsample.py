@@ -106,3 +106,12 @@ def test_downsample_rejections(rng):
     )
     with pytest.raises(InvalidArgumentError):
         api.compute_ssim(p, downsample=2)
+
+
+def test_downsample_arg_hardening(rng):
+    a, b = random_pair(rng, 30, 30)
+    assert api.compute_ssim(a, b, downsample=np.int64(2)) == api.compute_ssim(
+        a, b, downsample=2
+    )
+    with pytest.raises(InvalidArgumentError):
+        api.compute_ssim(a, b, downsample=True)

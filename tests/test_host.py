@@ -73,3 +73,22 @@ def test_host_batched(rng, host):
     assert maps.shape == (2, 32, 48)
     s1, _ = host.compute(a1, b1)
     assert scores[0] == pytest.approx(float(s1), abs=1e-12)
+
+
+def test_host_rejects_non_u8(rng, host):
+    """float/u16 inputs must raise, not silently truncate/wrap to u8 —
+    the guard that already protects the fused kernel (ADVICE r1)."""
+    import pytest
+
+    from conftest import random_pair
+    from ssim_tpu.errors import InvalidArgumentError
+
+    a, b = random_pair(rng, 32, 40)
+    for bad in (np.float32, np.uint16):
+        with pytest.raises(InvalidArgumentError):
+            host.compute(a.astype(bad), b.astype(bad))
+    # downsample produces pooled floats -> same rejection through the API
+    from ssim_tpu import api
+
+    with pytest.raises(InvalidArgumentError):
+        api.compute_ssim(a, b, impl="host", downsample=2)
