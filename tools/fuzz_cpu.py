@@ -1,0 +1,72 @@
+"""Extended fuzz harness (tools/fuzz_cpu.py [seed] [N]): random geometry x mode x map vs the f64 oracle.
+
+CPU interpret mode (fast compile, exact same kernel logic as Mosaic
+minus VMEM-garbage behavior, which tools/soak_tpu.py covers on
+hardware). Not committed as a test: runtime is minutes, the committed
+suite keeps a fixed subset.
+"""
+import os, sys, time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+from ssim_tpu import engine, reference
+
+r = np.random.default_rng(int(sys.argv[1]) if len(sys.argv) > 1 else 1234)
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 150
+fails = []
+t0 = time.time()
+for k in range(N):
+    h = int(r.integers(1, 320))
+    w = int(r.integers(1, 560))
+    with_map = bool(r.integers(0, 2))
+    batch = int(r.integers(1, 3))
+    mode = int(r.integers(0, 6))
+    a = r.integers(0, 256, (batch, h, w), dtype=np.uint8)
+    b = np.clip(a.astype(np.int32) + r.normal(0, 14, a.shape).astype(np.int32), 0, 255).astype(np.uint8)
+    kw = dict(with_map=with_map)
+    dr = 255.0
+    if mode == 0:
+        pass  # u8 pallas f32
+    elif mode == 1:
+        a = a.astype(np.float32); b = b.astype(np.float32)
+    elif mode == 2:
+        kw["precision"] = "f64"
+    elif mode == 3:
+        a = (a.astype(np.uint16) * 257); b = (b.astype(np.uint16) * 257); dr = 65535.0
+    elif mode == 4:
+        ds = int(r.integers(2, 4))
+        if h // ds < 1 or w // ds < 1:
+            continue
+        kw["downsample"] = ds
+    else:
+        kw["impl"] = "xla"
+    try:
+        got, gmap = engine.compute(a, b, impl=kw.pop("impl", "pallas"), data_range=dr, **kw)
+    except Exception as e:
+        fails.append((k, mode, h, w, f"{type(e).__name__}: {str(e)[:100]}"))
+        print("EXC", fails[-1], flush=True)
+        continue
+    # oracle on the same effective inputs
+    ea, eb = a, b
+    if "downsample" in kw:
+        ea = engine.box_decimate(a, kw["downsample"]); eb = engine.box_decimate(b, kw["downsample"])
+    tol_g = 5e-9 if kw.get("precision") == "f64" else 2e-6
+    tol_m = 1e-6 if kw.get("precision") == "f64" else 2e-3
+    for i in range(batch):
+        want, wmap = reference.compute_ssim(ea[i], eb[i], with_map=with_map, data_range=dr)
+        npx = ea.shape[-2] * ea.shape[-1]
+        tg = max(tol_g, 3e-3 / npx ** 0.5) if kw.get("precision") != "f64" else max(tol_g, 1e-4 / npx)
+        err = abs(float(np.atleast_1d(got)[i]) - want)
+        merr = 0.0 if not with_map else float(np.abs(np.asarray(gmap)[i] - wmap).max())
+        if err > tg or (with_map and merr > tol_m):
+            fails.append((k, mode, h, w, f"err={err:.2e}/{tg:.0e} map={merr:.2e}"))
+            print("FAIL", fails[-1], flush=True)
+    if k % 20 == 0:
+        print(f".. {k}/{N} t={time.time()-t0:.0f}s", flush=True)
+print(f"{'PASS' if not fails else 'FAIL'}: {N} cases, {len(fails)} failures, {time.time()-t0:.0f}s")
