@@ -62,12 +62,17 @@ def compute_ssim(
         impl = params.implementation
         data_range = params.data_range
     if downsample is not None and params is not None and params.map_buffer is not None:
-        from .errors import InvalidArgumentError
+        # Only an EFFECTIVE pooling conflicts with the full-image-sized
+        # map_buffer; "auto" on a small image (factor 1) and explicit
+        # downsample=1 are exact no-ops and stay allowed.
+        arr = _unwrap(a)
+        if engine.resolve_downsample(downsample, arr.shape[-2], arr.shape[-1]) > 1:
+            from .errors import InvalidArgumentError
 
-        raise InvalidArgumentError(
-            "downsample produces a pooled-size map; a strided map_buffer "
-            "is laid out for the full image — drop one of the two"
-        )
+            raise InvalidArgumentError(
+                "downsample produces a pooled-size map; a strided map_buffer "
+                "is laid out for the full image — drop one of the two"
+            )
     score, ssim_map = engine.compute(
         _unwrap(a), _unwrap(b), with_map=with_map, impl=impl,
         data_range=data_range, precision=precision, downsample=downsample,

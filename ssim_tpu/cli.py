@@ -115,6 +115,11 @@ def main(argv=None) -> int:
         if map_path is not None:
             sys.stderr.write("--ms does not produce a per-pixel map\n")
             return 1
+        if downsample is not None:
+            # MS-SSIM is already multi-scale; silently ignoring the flag
+            # would misreport what was computed.
+            sys.stderr.write("--downsample cannot be combined with --ms\n")
+            return 1
         try:
             if img1.ndim == 3 and (luminance or only_channel < 0):
                 m1, m2 = luminance_bt601(img1), luminance_bt601(img2)

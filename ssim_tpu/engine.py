@@ -60,8 +60,30 @@ def downsample_factor(h: int, w: int) -> int:
     pytorch-msssim and most IQA toolkits): large images are box-filtered
     and decimated so the 11x11 window keeps a perceptually meaningful
     footprint. Extension — the rmgr reference never downsamples.
+
+    MATLAB round() is round-half-AWAY-from-zero (min side 640 -> 2.5 ->
+    f=3), not Python banker's rounding (int(round(2.5)) == 2), hence the
+    floor(x + 0.5) below.
     """
-    return max(1, int(round(min(h, w) / 256.0)))
+    return max(1, int(min(h, w) / 256.0 + 0.5))
+
+
+def resolve_downsample(downsample, h: int, w: int) -> int:
+    """Validate a downsample argument and resolve "auto" to the Wang
+    factor for an h x w image. None -> 1 (no pooling)."""
+    if downsample is None:
+        return 1
+    if downsample == "auto":
+        return downsample_factor(h, w)
+    if (
+        isinstance(downsample, bool)  # True would silently mean k=1
+        or not isinstance(downsample, (int, np.integer))
+        or downsample < 1
+    ):
+        raise InvalidArgumentError(
+            f'downsample must be "auto" or an int >= 1, got {downsample!r}'
+        )
+    return int(downsample)
 
 
 def box_decimate(x: np.ndarray, k: int) -> np.ndarray:
@@ -116,21 +138,19 @@ def compute(
     a = np.asarray(a)
     b = np.asarray(b)
     validate_pair(a, b)
-    if downsample is not None:
-        if downsample == "auto":
-            downsample = downsample_factor(a.shape[-2], a.shape[-1])
-        if (
-            isinstance(downsample, bool)  # True would silently mean k=1
-            or not isinstance(downsample, (int, np.integer))
-            or downsample < 1
-        ):
+    downsample = resolve_downsample(downsample, a.shape[-2], a.shape[-1])
+    if downsample > 1:
+        if (impl if isinstance(impl, str) else getattr(impl, "value", impl)) == "host":
+            # Pooling produces float images; the u8-only host backend
+            # would reject them with a message blaming the caller's
+            # (correct) input dtype — raise the targeted error instead.
             raise InvalidArgumentError(
-                f'downsample must be "auto" or an int >= 1, got {downsample!r}'
+                "downsample > 1 is unsupported with impl='host' (pooled "
+                "images are float; the host backend is uint8-only) — "
+                "use impl='auto'/'pallas'/'xla'"
             )
-        downsample = int(downsample)
-        if downsample > 1:
-            a = box_decimate(a, downsample)
-            b = box_decimate(b, downsample)
+        a = box_decimate(a, downsample)
+        b = box_decimate(b, downsample)
     if precision not in ("f32", "f64"):
         raise InvalidArgumentError(f"precision must be f32 or f64, got {precision!r}")
     impl = select_impl(impl)

@@ -72,6 +72,11 @@ def compute(
     lib = _load()
     if lib is None:
         raise RuntimeError("host backend not built; run `make -C native`")
+    # Coerce array-likes (lists, torch tensors) BEFORE the dtype check so
+    # e.g. a torch uint8 tensor is accepted (torch.uint8 != np.uint8 as
+    # dtype objects, but asarray of it is a real u8 ndarray).
+    a = np.asarray(a)
+    b = np.asarray(b)
     if a.dtype != np.uint8 or b.dtype != np.uint8:
         # The C backend takes u8 buffers; an implicit astype here would
         # silently truncate floats / wrap wider integers (the same bug

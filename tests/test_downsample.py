@@ -18,6 +18,10 @@ def test_factor_rule():
     assert engine.downsample_factor(256, 256) == 1
     assert engine.downsample_factor(300, 900) == 1  # round(300/256) = 1
     assert engine.downsample_factor(512, 700) == 2
+    # MATLAB round() is half-away-from-zero: 640/256 = 2.5 -> 3, not
+    # Python banker's 2 (likewise 1152/256 = 4.5 -> 5).
+    assert engine.downsample_factor(640, 640) == 3
+    assert engine.downsample_factor(1152, 4000) == 5
     assert engine.downsample_factor(2160, 3840) == 8
     assert engine.downsample_factor(11, 11) == 1
 
@@ -115,3 +119,46 @@ def test_downsample_arg_hardening(rng):
     )
     with pytest.raises(InvalidArgumentError):
         api.compute_ssim(a, b, downsample=True)
+
+
+def test_downsample_noop_allows_map_buffer(rng):
+    """downsample=1 and 'auto' on a small image pool nothing, so the
+    full-image map_buffer contract must keep working."""
+    from ssim_tpu.params import ImageView, Params
+
+    a, b = random_pair(rng, 30, 40)
+    for ds in (1, "auto"):
+        buf = np.full(30 * 40, -1.0, np.float32)
+        p = Params(
+            img_a=ImageView.from_gray(a), img_b=ImageView.from_gray(b),
+            map_buffer=buf,
+        )
+        want = api.compute_ssim(a, b)
+        assert api.compute_ssim(p, downsample=ds) == want
+        assert (buf != -1.0).all()
+
+
+def test_downsample_host_targeted_error(rng):
+    a, b = random_pair(rng, 64, 64)
+    with pytest.raises(InvalidArgumentError, match="host"):
+        api.compute_ssim(a, b, impl="host", downsample=2)
+    # but the no-op factor still reaches the host backend fine
+    import ssim_tpu.ops.host as host_mod
+
+    if host_mod.is_available():
+        assert api.compute_ssim(a, b, impl="host", downsample=1) == api.compute_ssim(
+            a, b, impl="host"
+        )
+
+
+def test_cli_ms_downsample_conflict(rng, tmp_path, capsys):
+    from PIL import Image
+
+    from ssim_tpu import cli
+
+    a, b = random_pair(rng, 48, 48)
+    p1, p2 = tmp_path / "a.png", tmp_path / "b.png"
+    Image.fromarray(a).save(p1)
+    Image.fromarray(b).save(p2)
+    assert cli.main(["--ms", "--downsample=2", str(p1), str(p2)]) == 1
+    assert "--downsample" in capsys.readouterr().err

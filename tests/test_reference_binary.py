@@ -50,13 +50,12 @@ def _build_and_load_ref(build_dir, extra_cmake_args=()):
             )
             subprocess.run(["make", "-j4", "rmgr-ssim"], cwd=build_dir,
                            check=True, capture_output=True, timeout=300)
-            shim_src = os.path.join(os.path.dirname(__file__), "reference_shim.c")
             # The shim only uses the public API, whose types do not depend
             # on RMGR_SSIM_USE_DOUBLE (always float*), so one compilation
             # recipe serves both builds.
             subprocess.run(
                 ["g++", "-O2", "-fPIC", "-shared", "-o", shim,
-                 shim_src, "-I", os.path.join(REFERENCE_DIR, "include"),
+                 shim_src_path, "-I", os.path.join(REFERENCE_DIR, "include"),
                  os.path.join(build_dir, "librmgr-ssim.a")],
                 check=True, capture_output=True, timeout=120,
             )

@@ -63,3 +63,14 @@ def test_torch_cuda_like_rejection():
     t = torch.zeros((8, 8), requires_grad=True)
     with pytest.raises((InvalidArgumentError, RuntimeError)):
         ImageView.from_gray(t)
+
+
+def test_torch_u8_tensor_through_host_backend(rng):
+    from ssim_tpu.ops import host as host_mod
+
+    if not host_mod.is_available():
+        pytest.skip("host backend not built")
+    a, b = random_pair(rng, 32, 40)
+    want = api.compute_ssim(a, b, impl="host")
+    got = api.compute_ssim(torch.from_numpy(a), torch.from_numpy(b), impl="host")
+    assert got == want
