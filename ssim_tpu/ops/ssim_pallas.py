@@ -78,6 +78,44 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+#: VMEM working-set budget of the fast path, in f32 band elements
+#: (tile_h x (w + 2r)); the bands are f32 after the in-kernel convert
+#: regardless of input dtype. Every measured-valid config obeys it
+#: (64x1920 ok / 96x1920 over, 32x3840 ok / 64x3840 over, 192x640 ok)
+#: — same constant as the chunked path's MAX_CHUNK_W * TILE_H.
+_FAST_PATH_BUDGET = 131072
+#: Preferred tile area. Sweeps on v5e (docs/RESULTS.md): per-tile fixed
+#: costs want big tiles, Mosaic pipelining wants many small ones; ~32k
+#: elements is the measured sweet spot across 64x64...3840-wide shapes.
+_TILE_AREA_TARGET = 32768
+
+
+def _pick_tile_h(h: int, w: int, precise: bool = False) -> int:
+    """Adaptive fast-path tile height (multiple of 32 in [32, 256]).
+
+    Measured on v5e (batched small images; the large-image optimum was
+    already tile_h=32): first minimize padded rows ceil(h/t)*t — ragged
+    waste dominates when tiles are few (128x128 @ t=96 runs 45% slower
+    than t=128) — then, among minimizers, pick the tile area closest to
+    _TILE_AREA_TARGET. Wins: 256x256 b256 4.56 -> 6.61 Gpix/s (t=128),
+    128x128 b1024 3.55 -> 5.11 (t=128), 360x640 b64 6.58 -> 8.44 (t=64),
+    64x64 b4096 2.62 -> 3.12 (t=64); 1080p/4K unchanged (t=32).
+    precise mode halves the budget (df32 temporaries), degrading to the
+    legacy 32 whenever the budget has no candidate.
+    """
+    budget = _FAST_PATH_BUDGET // (2 if precise else 1)
+    cands = [t for t in range(32, 257, 32) if t * (w + 2 * RADIUS) <= budget]
+    if not cands:
+        return 32
+    padded = {t: -(-h // t) * t for t in cands}
+    best = min(padded.values())
+    target = _TILE_AREA_TARGET / max(1, w)
+    return min(
+        (t for t in cands if padded[t] == best),
+        key=lambda t: (abs(t - target), -t),
+    )
+
+
 def vertical_band_matrix(
     tile_h: int, band_rows: int, taps: np.ndarray, shift: int = 0
 ) -> np.ndarray:
@@ -716,13 +754,19 @@ def ssim_parts_pallas(
     sigma: float = SIGMA,
     data_range: float = 255.0,
     interpret: bool = False,
-    max_tile_h: int = TILE_H,
+    max_tile_h: Optional[int] = None,
     max_tile_w: int = TILE_W,
     precise: bool = False,
     allow_float: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Fused-kernel SSIM. a, b: (H, W) or (B, H, W), uint8 (or, with
     allow_float=True, float32 in [0, data_range]).
+
+    max_tile_h=None (default) picks the tile height adaptively
+    (_pick_tile_h: large images keep the classic 32-row tiles; small
+    batched images get taller tiles, up to +45% throughput); pass an
+    int to pin it (the chunked wide-image path always pins 32 unless
+    told otherwise — its VMEM budget is managed by _pick_chunk_w).
 
     Returns (partials, map or None): partials is (..., K) f32 per-tile
     sums of per-pixel SSIM over valid pixels (finalize with
@@ -784,13 +828,17 @@ def ssim_parts_pallas(
     # chunked path (four BlockSpecs per image: row x lane neighbors).
     clip_bound = max(131072.0, 4.0 * float(data_range))
     if _round_up(w + 2 * radius, 128) <= max_tile_w + COL_OVERLAP:
+        tile_h = max_tile_h if max_tile_h is not None else _pick_tile_h(
+            h, w, precise=precise
+        )
         partials, ssim_map = _nopad_overlap_call(
-            a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h,
+            a, b, h, w, taps, c1, c2, with_map, interpret, tile_h,
             precise=precise, clip_bound=clip_bound,
         )
     else:
         partials, ssim_map = _chunked_overlap_call(
-            a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h,
+            a, b, h, w, taps, c1, c2, with_map, interpret,
+            TILE_H if max_tile_h is None else max_tile_h,
             precise=precise, clip_bound=clip_bound,
         )
     if squeeze:
@@ -809,7 +857,7 @@ def ssim_components_pallas(
     *,
     data_range: float = 255.0,
     interpret: bool = False,
-    max_tile_h: int = TILE_H,
+    max_tile_h: Optional[int] = None,
     max_tile_w: int = TILE_W,
 ) -> jnp.ndarray:
     """Fused-kernel MS-SSIM components: per-tile sums of the cs factor and
@@ -844,13 +892,15 @@ def ssim_components_pallas(
 
     clip_bound = max(131072.0, 4.0 * float(data_range))
     if _round_up(w + 2 * RADIUS, 128) <= max_tile_w + COL_OVERLAP:
+        tile_h = max_tile_h if max_tile_h is not None else _pick_tile_h(h, w)
         partials, _ = _nopad_overlap_call(
-            a, b, h, w, taps, c1, c2, False, interpret, max_tile_h,
+            a, b, h, w, taps, c1, c2, False, interpret, tile_h,
             components=True, clip_bound=clip_bound,
         )
     else:
         partials, _ = _chunked_overlap_call(
-            a, b, h, w, taps, c1, c2, False, interpret, max_tile_h,
+            a, b, h, w, taps, c1, c2, False, interpret,
+            TILE_H if max_tile_h is None else max_tile_h,
             components=True, clip_bound=clip_bound,
         )
     partials = partials.reshape(batch, -1, 2)

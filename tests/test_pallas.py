@@ -225,3 +225,38 @@ def test_fuzz_float_and_precise_paths(seed):
         want, _ = reference.compute_ssim(a, b)
         got = float(np.asarray(p, np.float64).sum() / a.size)
         assert abs(got - want) < 5e-9
+
+
+def test_pick_tile_h_rules():
+    """The adaptive fast-path tile height (measured on v5e; see
+    docs/RESULTS.md): padded-row minimization first, then the ~32k
+    tile-area preference, under the 131k-element VMEM budget."""
+    from ssim_tpu.ops.ssim_pallas import _pick_tile_h
+
+    assert _pick_tile_h(2160, 3840) == 32   # 4K: budget caps at 32
+    assert _pick_tile_h(1080, 1920) == 32   # 1080p: area target prefers 32
+    assert _pick_tile_h(360, 640) == 64     # small batched images go taller
+    assert _pick_tile_h(256, 256) == 128
+    assert _pick_tile_h(128, 128) == 128    # one tile per image
+    assert _pick_tile_h(64, 64) == 64
+    assert _pick_tile_h(135, 240) == 160    # tile taller than the image
+    assert _pick_tile_h(2160, 3840, precise=True) == 32  # halved budget
+    for h, w in [(1, 1), (17, 90), (4000, 4000)]:
+        t = _pick_tile_h(h, w)
+        assert t % 32 == 0 and 32 <= t <= 256
+
+
+def test_adaptive_tile_taller_than_image(rng):
+    """h < picked tile_h (nh == 1, ragged everything) must still match
+    the oracle, map included."""
+    from ssim_tpu import engine, reference
+    from ssim_tpu.ops.ssim_pallas import _pick_tile_h, ssim_parts_pallas
+
+    h, w = 135, 240
+    assert _pick_tile_h(h, w) > h
+    a, b = random_pair(rng, h, w)
+    parts, m = ssim_parts_pallas(a[None], b[None], with_map=True, interpret=True)
+    got = float(engine.finalize_mean(np.asarray(parts), h * w)[0])
+    want, wmap = reference.compute_ssim(a, b, with_map=True)
+    assert abs(got - want) < 2e-6
+    assert np.abs(np.asarray(m)[0] - wmap).max() < 1e-3
