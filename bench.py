@@ -30,9 +30,10 @@ def main():
         ("pallas_1080_map", dict(impl="pallas", with_map=True)),
         ("pallas_8k_nomap", dict(impl="pallas", with_map=False, batch=1, h=4320, w=7680, iters=64)),
         ("pallas_4k_f64mode", dict(impl="pallas", with_map=False, batch=4, h=2160, w=3840, iters=64, precise=True)),
-        # Small-image batch (thumbnail/codec-QA shape): regression-tracks
-        # the adaptive tile-height path (tile_h=128 here, not 32).
-        ("pallas_256sq_b256", dict(impl="pallas", with_map=False, batch=256, h=256, w=256, iters=64)),
+        # Small-image batch (thumbnail/codec-QA shape): impl="auto"
+        # regression-tracks the routed path — lane packing + adaptive
+        # tile height (impl="pallas" would bypass routing).
+        ("auto_256sq_b256", dict(impl="auto", with_map=False, batch=256, h=256, w=256, iters=64)),
         ("xla_1080_nomap", dict(impl="xla", with_map=False, iters=24)),
     ]:
         try:

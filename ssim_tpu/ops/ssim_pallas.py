@@ -343,7 +343,8 @@ def clamped_band_matrices(tile_h: int, band: int, taps: np.ndarray,
 
 
 def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h,
-                        precise=False, components=False, clip_bound=131072.0):
+                        precise=False, components=False, clip_bound=131072.0,
+                        colsum=False):
     """Zero-copy fast path: the RAW (B, H, W) images are consumed directly
     by the kernel — no padding pass at all. Each instance reads three
     row blocks per image (prev/cur/next via clamped index maps; ragged
@@ -441,6 +442,17 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
             if precise:
                 ssim_lo = ssim_lo + pois
 
+        if colsum:
+            # Packed-batch mode (ssim_parts_pallas_packed): emit per-LANE
+            # sums of (ssim - 1) so the host can segment-sum arbitrary
+            # image slots out of one packed row. Garbage rows of the
+            # ragged last tile are exactly 1.0 (zero band weights), so
+            # columns need no row masking; gutter lanes carry finite
+            # junk the caller masks by slot.
+            (sum_ref,) = out_refs
+            sum_ref[0, 0, 0] = jnp.sum(ssim - 1.0, axis=0)
+            return
+
         if with_map:
             map_ref, sum_ref = out_refs
             map_ref[0] = ssim
@@ -496,12 +508,20 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
             pl.BlockSpec((1, tile_h, w), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM)
         )
-    n_sums = 2 if (precise or components) else 1
-    out_shapes.append(jax.ShapeDtypeStruct((batch, nh, 1, n_sums), jnp.float32))
-    out_specs.append(
-        pl.BlockSpec((1, 1, 1, n_sums), lambda bi, i: (bi, i, 0, 0),
-                     memory_space=pltpu.SMEM)
-    )
+    if colsum:
+        out_shapes.append(jax.ShapeDtypeStruct((batch, nh, 1, w), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 1, 1, w), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        n_sums = None
+    else:
+        n_sums = 2 if (precise or components) else 1
+        out_shapes.append(jax.ShapeDtypeStruct((batch, nh, 1, n_sums), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 1, 1, n_sums), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.SMEM)
+        )
 
     outs = pl.pallas_call(
         kernel,
@@ -521,6 +541,8 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
     else:
         (tile_sums,) = outs
         ssim_map = None
+    if colsum:
+        return tile_sums.reshape(batch, nh, w).sum(axis=1), None
     return tile_sums.reshape(batch, nh * n_sums), ssim_map
 
 
@@ -907,3 +929,85 @@ def ssim_components_pallas(
     if squeeze:
         partials = partials[0]
     return partials
+
+
+#: Widest image the packed-batch path will pack. Measured crossover on
+#: v5e: packing still wins at 512 (9.23 vs 8.22 Gpix/s) but loses at 640
+#: (7.62 vs 8.46) — past ~512 lanes the standard per-image grid is
+#: already efficient and the pack transpose stops paying for itself.
+PACK_MAX_W = 512
+
+
+def pack_count(w: int, batch: int) -> int:
+    """How many w-wide images the packed path lays side by side."""
+    pitch = w + 2 * RADIUS
+    limit = (TILE_W + COL_OVERLAP - 2 * RADIUS) // pitch
+    return max(1, min(batch, limit))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("data_range", "interpret", "max_tile_h")
+)
+def ssim_parts_pallas_packed(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    data_range: float = 255.0,
+    interpret: bool = False,
+    max_tile_h: Optional[int] = None,
+) -> jnp.ndarray:
+    """Lane-packed batch SSIM for SMALL uint8 images: per-image partials
+    of shape (B, 2) — [:, 0] the (ssim - 1) sum, [:, 1] the exact pixel
+    count — so engine.finalize_mean(partials, H*W) yields the per-image
+    means with the same f64-host-finalize contract as the standard path
+    (the count rides as its own f32 partial; folding it into the residual
+    sum in f32 would cost the residual its fine ulp).
+
+    A (B, H, W) batch of thumbnails starves the standard grid: a 64-wide
+    image uses half of the 128-lane tile and its per-tile fixed costs
+    amortize over ~4k pixels (measured 2.6-3.1 Gpix/s at 64x64 vs the
+    10.7 Gpix/s the same kernel sustains on a 64-row full-width strip).
+    This path packs P images side by side along the lane dimension, each
+    slot carrying its own RADIUS-wide edge-replica gutters so the 11-tap
+    horizontal window never crosses an image boundary (the same isolation
+    the reference gets from per-tile margin fills, src/ssim.cpp:540-555).
+    The kernel runs its normal fused pipeline over the packed rows and
+    emits per-lane column sums of (ssim - 1) (colsum mode); slot sums are
+    segment-reduced outside. Batch remainders are padded with identical
+    zero pairs whose slots are simply dropped. u8 / f32-precision /
+    no-map only — other modes use the standard path.
+    """
+    if a.dtype != jnp.uint8 or b.dtype != jnp.uint8:
+        raise ValueError("packed path is uint8-only; use ssim_parts_pallas")
+    if a.ndim != 3:
+        raise ValueError(f"packed path needs a (B, H, W) batch, got {a.shape}")
+    batch, h, w = a.shape
+    r = RADIUS
+    pitch = w + 2 * r
+    p = pack_count(w, batch)
+    bp = -(-batch // p)
+    pad_n = bp * p - batch
+
+    def pack(x):
+        x = jnp.pad(x, ((0, 0), (0, 0), (r, r)), mode="edge")
+        if pad_n:
+            x = jnp.pad(x, ((0, pad_n), (0, 0), (0, 0)))
+        return (
+            x.reshape(bp, p, h, pitch)
+            .transpose(0, 2, 1, 3)
+            .reshape(bp, h, p * pitch)
+        )
+
+    taps = gaussian_taps(np.float32, RADIUS, SIGMA)
+    c1 = float((0.01 * data_range) ** 2)
+    c2 = float((0.03 * data_range) ** 2)
+    tile_h = max_tile_h if max_tile_h is not None else _pick_tile_h(h, p * pitch)
+    colsums, _ = _nopad_overlap_call(
+        pack(a), pack(b), h, p * pitch, taps, c1, c2,
+        False, interpret, tile_h, colsum=True,
+    )
+    per_slot = (
+        colsums.reshape(bp, p, pitch)[:, :, r : r + w].sum(axis=-1).reshape(-1)
+    )
+    counts = jnp.full((batch, 1), np.float32(h * w), jnp.float32)
+    return jnp.concatenate([per_slot[:batch, None], counts], axis=1)

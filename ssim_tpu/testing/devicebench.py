@@ -35,7 +35,15 @@ def make_runner(impl: str, with_map: bool, precise: bool = False):
 
     interpret = backend_platform() != "tpu"
 
-    if impl == "pallas":
+    if impl == "auto":
+        # Full routing policy (incl. the lane-packed small-image path).
+        from ..ops.routing import ssim_parts_auto
+
+        def parts(a, b):
+            return ssim_parts_auto(
+                a, b, with_map=with_map, interpret=interpret, precise=precise
+            )
+    elif impl == "pallas":
         from ..ops.ssim_pallas import ssim_parts_pallas
 
         def parts(a, b):

@@ -1,0 +1,93 @@
+"""Lane-packed batch path for small images (ssim_parts_pallas_packed).
+
+Small batched images are packed side by side along the lane dimension,
+each slot carrying its own RADIUS-wide edge-replica gutters (the same
+isolation the reference's per-tile margin fills provide,
+src/ssim.cpp:540-555); the kernel emits per-lane column sums and slots
+are segment-reduced outside. Measured on v5e: 32^2 x16384 1.28 -> 5.16
+Gpix/s, 64^2 x4096 3.10 -> 5.47, 512^2 x128 8.22 -> 9.23 (docs/RESULTS.md).
+"""
+
+import numpy as np
+import pytest
+
+from conftest import random_pair
+from ssim_tpu import api, engine, reference
+from ssim_tpu.ops.ssim_pallas import (
+    PACK_MAX_W,
+    pack_count,
+    ssim_parts_pallas_packed,
+)
+
+
+@pytest.mark.parametrize(
+    "batch,shape",
+    [
+        (7, (64, 64)),     # remainder batch (P=7 fits, but exercise odd B)
+        (3, (33, 47)),     # ragged h, odd w
+        (1, (16, 16)),     # single image
+        (9, (11, 11)),     # window-sized images
+        (4, (50, 1)),      # width-1 degenerate
+        (130, (40, 30)),   # B > P: multiple packed rows + dummy padding
+        (2, (70, 512)),    # widest packable
+    ],
+)
+def test_packed_matches_oracle(rng, batch, shape):
+    h, w = shape
+    a = rng.integers(0, 256, (batch, h, w), dtype=np.uint8)
+    noise = rng.normal(0, 12, a.shape)
+    b = np.clip(a.astype(np.int32) + noise.astype(np.int32), 0, 255).astype(np.uint8)
+    parts = ssim_parts_pallas_packed(a, b, interpret=True)
+    assert parts.shape == (batch, 2)
+    got = engine.finalize_mean(np.asarray(parts), h * w)
+    tol = max(2e-6, 3e-3 / (h * w) ** 0.5)
+    for i in range(batch):
+        want, _ = reference.compute_ssim(a[i], b[i])
+        assert abs(float(got[i]) - want) < tol, (i, float(got[i]), want)
+
+
+def test_packed_matches_unpacked_engine(rng):
+    """The auto-routed engine result (packed for this shape) must match
+    per-image compute_ssim calls (standard path) to f32 noise."""
+    a = rng.integers(0, 256, (6, 48, 64), dtype=np.uint8)
+    b = np.clip(
+        a.astype(np.int32) + rng.normal(0, 10, a.shape).astype(np.int32), 0, 255
+    ).astype(np.uint8)
+    batched = api.compute_ssim(a, b, impl="pallas")
+    singles = [api.compute_ssim(a[i], b[i], impl="pallas") for i in range(6)]
+    np.testing.assert_allclose(batched, singles, rtol=0, atol=2e-6)
+
+
+def test_packed_identical_pairs_are_one(rng):
+    """Identical images give per-pixel ssim == num/num == 1.0, so the
+    (ssim - 1) column sums vanish. On the CPU backend this is exact; on
+    the TPU backend the compiler may contract the num/den expression
+    trees differently, leaving ulp-level per-pixel residue (~1e-8 of the
+    mean — measured 8e-9, far inside every tier). Correctness does not
+    depend on exactness: dummy slots are dropped, never subtracted."""
+    import jax
+
+    a = rng.integers(0, 256, (5, 32, 32), dtype=np.uint8)
+    parts = np.asarray(ssim_parts_pallas_packed(a, a.copy(), interpret=True))
+    got = engine.finalize_mean(parts, 32 * 32)
+    if jax.default_backend() == "cpu":
+        np.testing.assert_array_equal(parts[:, 0], np.zeros(5, np.float32))
+        np.testing.assert_array_equal(got, np.ones(5))
+    else:
+        assert np.abs(parts[:, 0]).max() < 1e-4
+        np.testing.assert_allclose(got, np.ones(5), rtol=0, atol=1e-7)
+
+
+def test_packed_rejections_and_gates(rng):
+    a, b = random_pair(rng, 32, 32)
+    with pytest.raises(ValueError):
+        ssim_parts_pallas_packed(a, b)  # 2-D: needs a batch
+    af = a.astype(np.float32)
+    with pytest.raises(ValueError):
+        ssim_parts_pallas_packed(af[None], af[None])  # uint8 only
+    assert pack_count(PACK_MAX_W, 1000) >= 2
+    # with_map requests must NOT take the packed path (it has no map):
+    batch_a = np.stack([a] * 3)
+    batch_b = np.stack([b] * 3)
+    scores, maps = api.compute_ssim(batch_a, batch_b, with_map=True, impl="pallas")
+    assert maps.shape == batch_a.shape

@@ -51,13 +51,17 @@ def test_einstein_frozen_global(images_dir):
 
 
 def test_batched_matches_single(rng):
+    # Small batches route through the lane-packed path, whose column-sum
+    # reduction order differs from the single-image tile sums — agreement
+    # is f32-roundoff (~1e-8), not bitwise (it was 1e-9 when both shapes
+    # ran the identical code path).
     pairs = [random_pair(rng, 60, 90) for _ in range(2)]
     a = np.stack([p[0] for p in pairs])
     b = np.stack([p[1] for p in pairs])
     scores = compute_ssim(a, b, impl="pallas")
     for i in range(2):
         single = compute_ssim(a[i], b[i], impl="pallas")
-        assert scores[i] == pytest.approx(single, abs=1e-9)
+        assert scores[i] == pytest.approx(single, abs=1e-7)
 
 
 def test_pallas_matches_xla(rng):
