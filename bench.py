@@ -33,7 +33,7 @@ def main():
         # Small-image batch (thumbnail/codec-QA shape): impl="auto"
         # regression-tracks the routed path — lane packing + adaptive
         # tile height (impl="pallas" would bypass routing).
-        ("auto_256sq_b256", dict(impl="auto", with_map=False, batch=256, h=256, w=256, iters=64)),
+        ("auto_128sq_b1024", dict(impl="auto", with_map=False, batch=1024, h=128, w=128, iters=64)),
         ("xla_1080_nomap", dict(impl="xla", with_map=False, iters=24)),
     ]:
         try:

@@ -58,9 +58,8 @@ def ssim_parts_auto(
         ):
             # Batched small images: the lane-packed path (measured on
             # v5e: 32^2 x16384 1.28 -> 5.16, 64^2 x4096 3.10 -> 5.47,
-            # 256^2 x256 6.59 -> 7.34, 512^2 x128 8.22 -> 9.23 Gpix/s;
-            # the crossover is past 512 — 640-wide measured slower
-            # packed, hence PACK_MAX_W).
+            # 128^2 x1024 5.07 -> 7.27 Gpix/s; see PACK_MAX_W's comment
+            # for why the cutoff sits below 224).
             return ssim_parts_pallas_packed(
                 a, b, data_range=data_range, interpret=interpret
             ), None
@@ -69,8 +68,26 @@ def ssim_parts_auto(
             interpret=interpret, precise=precise, **tile_kwargs,
         )
     if a.dtype == b.dtype and _is_float_routable(a.dtype):
+        af = a.astype(jnp.float32)
+        bf = b.astype(jnp.float32)
+        if (
+            not with_map
+            and not precise
+            and not tile_kwargs
+            and a.ndim == 3
+            and a.shape[-1] <= PACK_MAX_W
+            and pack_count(a.shape[-1], a.shape[0], itemsize=4) >= 2
+            and a.shape[-2] * a.shape[-1] < 1 << 24
+        ):
+            # Batched small float images (e.g. 224x224 ML eval crops)
+            # take the lane-packed path too; per-column NaN poisoning
+            # keeps invalid-input propagation per-image.
+            return ssim_parts_pallas_packed(
+                af, bf, data_range=data_range, interpret=interpret,
+                allow_float=True,
+            ), None
         return ssim_parts_pallas(
-            a.astype(jnp.float32), b.astype(jnp.float32),
+            af, bf,
             with_map=with_map, data_range=data_range,
             interpret=interpret, precise=precise, allow_float=True,
             **tile_kwargs,

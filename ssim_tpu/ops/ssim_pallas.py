@@ -84,13 +84,22 @@ def _round_up(x: int, m: int) -> int:
 #: (64x1920 ok / 96x1920 over, 32x3840 ok / 64x3840 over, 192x640 ok)
 #: — same constant as the chunked path's MAX_CHUNK_W * TILE_H.
 _FAST_PATH_BUDGET = 131072
+#: Tighter budget for FLOAT inputs: the six double-buffered input blocks
+#: are f32 (4x u8's), so the same tile_h x w that fits with u8 inputs
+#: OOMs scoped VMEM with floats — measured on v5e: 32 x 3288 compiles,
+#: 32 x 4212 fails with "18.79M and limit 16.00M". Float images wider
+#: than this budget's 32-row width (~3062 lanes) take the chunked path
+#: (whose _pick_chunk_w already scales by itemsize).
+_FLOAT_FAST_PATH_BUDGET = 98304
 #: Preferred tile area. Sweeps on v5e (docs/RESULTS.md): per-tile fixed
 #: costs want big tiles, Mosaic pipelining wants many small ones; ~32k
 #: elements is the measured sweet spot across 64x64...3840-wide shapes.
 _TILE_AREA_TARGET = 32768
 
 
-def _pick_tile_h(h: int, w: int, precise: bool = False) -> int:
+def _pick_tile_h(
+    h: int, w: int, precise: bool = False, float_input: bool = False
+) -> int:
     """Adaptive fast-path tile height (multiple of 32 in [32, 256]).
 
     Measured on v5e (batched small images; the large-image optimum was
@@ -101,9 +110,12 @@ def _pick_tile_h(h: int, w: int, precise: bool = False) -> int:
     128x128 b1024 3.55 -> 5.11 (t=128), 360x640 b64 6.58 -> 8.44 (t=64),
     64x64 b4096 2.62 -> 3.12 (t=64); 1080p/4K unchanged (t=32).
     precise mode halves the budget (df32 temporaries), degrading to the
-    legacy 32 whenever the budget has no candidate.
+    legacy 32 whenever the budget has no candidate. float_input selects
+    the tighter _FLOAT_FAST_PATH_BUDGET (f32 input blocks are 4x u8's).
     """
-    budget = _FAST_PATH_BUDGET // (2 if precise else 1)
+    budget = (_FLOAT_FAST_PATH_BUDGET if float_input else _FAST_PATH_BUDGET) // (
+        2 if precise else 1
+    )
     cands = [t for t in range(32, 257, 32) if t * (w + 2 * RADIUS) <= budget]
     if not cands:
         return 32
@@ -429,13 +441,17 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
             # the XLA path would propagate as an invalid-input signal.
             # Restore that contract: sum the tile's own valid (unsanitized)
             # pixels and multiply by 0 — exactly 0.0 when all are finite,
-            # NaN otherwise — and poison every output with it.
+            # NaN otherwise — and poison every output with it. In colsum
+            # (packed) mode the poison stays PER COLUMN so a NaN pixel in
+            # one packed image cannot poison its lane neighbors (the blur
+            # itself never crosses slot gutters, so per-image isolation
+            # only hinges on this term).
             src = ac_ref[0].astype(jnp.float32) + bc_ref[0].astype(jnp.float32)
             if h % tile_h != 0:
                 # uninitialized garbage rows of the last ragged block
                 rid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 0)
                 src = jnp.where(rid < h - i * tile_h, src, 0.0)
-            pois = jnp.sum(src) * 0.0
+            pois = (jnp.sum(src, axis=0) if colsum else jnp.sum(src)) * 0.0
             ssim = ssim + pois
             if components:
                 cs = cs + pois
@@ -849,9 +865,15 @@ def ssim_parts_pallas(
     # per-tile clamp-folded band matrices); wider images use the padded
     # chunked path (four BlockSpecs per image: row x lane neighbors).
     clip_bound = max(131072.0, 4.0 * float(data_range))
-    if _round_up(w + 2 * radius, 128) <= max_tile_w + COL_OVERLAP:
+    fast_ok = _round_up(w + 2 * radius, 128) <= max_tile_w + COL_OVERLAP
+    if float_ok and 32 * (w + 2 * radius) > _FLOAT_FAST_PATH_BUDGET:
+        # Float input blocks are 4x u8's: widths that fit the u8 fast
+        # path OOM scoped VMEM with floats (measured 18.79M/16.00M at
+        # 32 x 4212) — route them to the chunked path instead.
+        fast_ok = False
+    if fast_ok:
         tile_h = max_tile_h if max_tile_h is not None else _pick_tile_h(
-            h, w, precise=precise
+            h, w, precise=precise, float_input=float_ok
         )
         partials, ssim_map = _nopad_overlap_call(
             a, b, h, w, taps, c1, c2, with_map, interpret, tile_h,
@@ -913,8 +935,14 @@ def ssim_components_pallas(
     c2 = float((0.03 * data_range) ** 2)
 
     clip_bound = max(131072.0, 4.0 * float(data_range))
-    if _round_up(w + 2 * RADIUS, 128) <= max_tile_w + COL_OVERLAP:
-        tile_h = max_tile_h if max_tile_h is not None else _pick_tile_h(h, w)
+    is_float = a.dtype == jnp.float32
+    fast_ok = _round_up(w + 2 * RADIUS, 128) <= max_tile_w + COL_OVERLAP
+    if is_float and 32 * (w + 2 * RADIUS) > _FLOAT_FAST_PATH_BUDGET:
+        fast_ok = False  # float blocks are 4x u8's (see ssim_parts_pallas)
+    if fast_ok:
+        tile_h = max_tile_h if max_tile_h is not None else _pick_tile_h(
+            h, w, float_input=is_float
+        )
         partials, _ = _nopad_overlap_call(
             a, b, h, w, taps, c1, c2, False, interpret, tile_h,
             components=True, clip_bound=clip_bound,
@@ -931,22 +959,32 @@ def ssim_components_pallas(
     return partials
 
 
-#: Widest image the packed-batch path will pack. Measured crossover on
-#: v5e: packing still wins at 512 (9.23 vs 8.22 Gpix/s) but loses at 640
-#: (7.62 vs 8.46) — past ~512 lanes the standard per-image grid is
-#: already efficient and the pack transpose stops paying for itself.
-PACK_MAX_W = 512
+#: Widest image the packed-batch path will pack. Measured on v5e
+#: (packed vs adaptive-tile unpacked, Gpix/s): 32^2 5.16/1.28, 64^2
+#: 5.48/3.12, 128^2 7.27/5.07 — unambiguous wins below ~200 lanes. At
+#: 224^2 packing REGRESSES (6.79/8.76 u8, 5.66/8.60 f32 — the unpacked
+#: fast path is anomalously fast at that width and the pack transpose is
+#: pure overhead), and the 256-512 packed wins are small (+5-12%), so
+#: the cutoff sits below the ubiquitous 224 ML-crop size: never regress
+#: the common case to chase the small mid-range wins.
+PACK_MAX_W = 192
 
 
-def pack_count(w: int, batch: int) -> int:
-    """How many w-wide images the packed path lays side by side."""
+def pack_count(w: int, batch: int, itemsize: int = 1) -> int:
+    """How many w-wide images the packed path lays side by side. Float
+    inputs (itemsize 4) pack into the tighter float VMEM budget's row
+    width (~3062 lanes at 32-row tiles) instead of the full 4214."""
     pitch = w + 2 * RADIUS
-    limit = (TILE_W + COL_OVERLAP - 2 * RADIUS) // pitch
+    if itemsize > 1:
+        limit = (_FLOAT_FAST_PATH_BUDGET // 32 - 2 * RADIUS) // pitch
+    else:
+        limit = (TILE_W + COL_OVERLAP - 2 * RADIUS) // pitch
     return max(1, min(batch, limit))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("data_range", "interpret", "max_tile_h")
+    jax.jit,
+    static_argnames=("data_range", "interpret", "max_tile_h", "allow_float"),
 )
 def ssim_parts_pallas_packed(
     a: jnp.ndarray,
@@ -955,6 +993,7 @@ def ssim_parts_pallas_packed(
     data_range: float = 255.0,
     interpret: bool = False,
     max_tile_h: Optional[int] = None,
+    allow_float: bool = False,
 ) -> jnp.ndarray:
     """Lane-packed batch SSIM for SMALL uint8 images: per-image partials
     of shape (B, 2) — [:, 0] the (ssim - 1) sum, [:, 1] the exact pixel
@@ -974,17 +1013,26 @@ def ssim_parts_pallas_packed(
     The kernel runs its normal fused pipeline over the packed rows and
     emits per-lane column sums of (ssim - 1) (colsum mode); slot sums are
     segment-reduced outside. Batch remainders are padded with identical
-    zero pairs whose slots are simply dropped. u8 / f32-precision /
-    no-map only — other modes use the standard path.
+    zero pairs whose slots are simply dropped. u8 (or, with
+    allow_float=True, float32 — the sanitized float path with PER-COLUMN
+    NaN poisoning, so a NaN pixel in one image never poisons its packed
+    neighbors) / f32-precision / no-map only — other modes use the
+    standard path.
     """
-    if a.dtype != jnp.uint8 or b.dtype != jnp.uint8:
-        raise ValueError("packed path is uint8-only; use ssim_parts_pallas")
+    float_ok = (
+        allow_float and a.dtype == jnp.float32 and b.dtype == jnp.float32
+    )
+    if not float_ok and (a.dtype != jnp.uint8 or b.dtype != jnp.uint8):
+        raise ValueError(
+            "packed path takes uint8 (or float32 with allow_float=True); "
+            "use ssim_parts_pallas"
+        )
     if a.ndim != 3:
         raise ValueError(f"packed path needs a (B, H, W) batch, got {a.shape}")
     batch, h, w = a.shape
     r = RADIUS
     pitch = w + 2 * r
-    p = pack_count(w, batch)
+    p = pack_count(w, batch, itemsize=4 if float_ok else 1)
     bp = -(-batch // p)
     pad_n = bp * p - batch
 
@@ -1001,10 +1049,13 @@ def ssim_parts_pallas_packed(
     taps = gaussian_taps(np.float32, RADIUS, SIGMA)
     c1 = float((0.01 * data_range) ** 2)
     c2 = float((0.03 * data_range) ** 2)
-    tile_h = max_tile_h if max_tile_h is not None else _pick_tile_h(h, p * pitch)
+    clip_bound = max(131072.0, 4.0 * float(data_range))
+    tile_h = max_tile_h if max_tile_h is not None else _pick_tile_h(
+        h, p * pitch, float_input=float_ok
+    )
     colsums, _ = _nopad_overlap_call(
         pack(a), pack(b), h, p * pitch, taps, c1, c2,
-        False, interpret, tile_h, colsum=True,
+        False, interpret, tile_h, colsum=True, clip_bound=clip_bound,
     )
     per_slot = (
         colsums.reshape(bp, p, pitch)[:, :, r : r + w].sum(axis=-1).reshape(-1)

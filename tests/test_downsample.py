@@ -65,7 +65,9 @@ def test_downsample_batched(rng):
     batch = api.compute_ssim(np.stack([a0, a1]), np.stack([b0, b1]), downsample=2)
     s0 = api.compute_ssim(a0, b0, downsample=2)
     s1 = api.compute_ssim(a1, b1, downsample=2)
-    np.testing.assert_allclose(batch, [s0, s1], rtol=0, atol=1e-12)
+    # Small pooled batches route through the lane-packed path, whose
+    # reduction order differs from the single-image call -> f32 roundoff.
+    np.testing.assert_allclose(batch, [s0, s1], rtol=0, atol=1e-7)
 
 
 def test_downsample_channels_and_cli(rng, tmp_path, capsys):
@@ -78,7 +80,9 @@ def test_downsample_channels_and_cli(rng, tmp_path, capsys):
     res = compute_ssim_channels(rgb, rgb2, downsample=2)
     for c in range(3):
         want = api.compute_ssim(rgb[:, :, c], rgb2[:, :, c], downsample=2)
-        assert res.per_channel[c] == want
+        # channels batch as (C, H, W) -> lane-packed path -> f32 roundoff
+        # vs the single-image call.
+        assert res.per_channel[c] == pytest.approx(want, abs=1e-7)
 
     from PIL import Image
 

@@ -91,3 +91,49 @@ def test_packed_rejections_and_gates(rng):
     batch_b = np.stack([b] * 3)
     scores, maps = api.compute_ssim(batch_a, batch_b, with_map=True, impl="pallas")
     assert maps.shape == batch_a.shape
+
+
+def test_packed_float_matches_oracle(rng):
+    for batch, h, w in [(5, 224, 224), (3, 40, 56)]:
+        a = rng.random((batch, h, w)).astype(np.float32)
+        b = np.clip(a + rng.normal(0, 0.05, a.shape).astype(np.float32), 0, 1)
+        parts = ssim_parts_pallas_packed(
+            a, b, data_range=1.0, interpret=True, allow_float=True
+        )
+        got = engine.finalize_mean(np.asarray(parts), h * w)
+        tol = max(2e-6, 3e-3 / (h * w) ** 0.5)
+        for i in range(batch):
+            want, _ = reference.compute_ssim(a[i], b[i], data_range=1.0)
+            assert abs(float(got[i]) - want) < tol, (i, float(got[i]), want)
+
+
+def test_packed_float_nan_isolated_per_image(rng):
+    """A NaN pixel in one packed image must poison ONLY that image's
+    score (per-column poison + blur locality across slot gutters); its
+    packed neighbors stay finite and correct."""
+    batch, h, w = 4, 48, 64
+    a = rng.random((batch, h, w)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.05, a.shape).astype(np.float32), 0, 1)
+    a[2, 10, 20] = np.nan
+    parts = ssim_parts_pallas_packed(
+        a, b, data_range=1.0, interpret=True, allow_float=True
+    )
+    got = engine.finalize_mean(np.asarray(parts), h * w)
+    assert np.isnan(got[2])
+    for i in (0, 1, 3):
+        assert np.isfinite(got[i])
+        want, _ = reference.compute_ssim(a[i], b[i], data_range=1.0)
+        assert abs(float(got[i]) - want) < 2e-6
+
+
+def test_packed_float_routed_by_engine(rng):
+    """Batched small float images auto-route packed and match per-image
+    standard-path results."""
+    a = rng.random((6, 128, 96)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.03, a.shape).astype(np.float32), 0, 1)
+    batched = api.compute_ssim(a, b, impl="pallas", data_range=1.0)
+    singles = [
+        api.compute_ssim(a[i], b[i], impl="pallas", data_range=1.0)
+        for i in range(6)
+    ]
+    np.testing.assert_allclose(batched, singles, rtol=0, atol=2e-6)
