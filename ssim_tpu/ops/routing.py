@@ -39,8 +39,7 @@ def ssim_parts_auto(
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Fused kernel when the dtype allows it, XLA otherwise."""
     from .ssim_pallas import (
-        PACK_MAX_W,
-        pack_count,
+        pack_preferred,
         ssim_parts_pallas,
         ssim_parts_pallas_packed,
     )
@@ -52,8 +51,7 @@ def ssim_parts_auto(
             and not precise
             and not tile_kwargs
             and a.ndim == 3
-            and a.shape[-1] <= PACK_MAX_W
-            and pack_count(a.shape[-1], a.shape[0]) >= 2
+            and pack_preferred(a.shape[-1], a.shape[0])
             and a.shape[-2] * a.shape[-1] < 1 << 24  # exact f32 count
         ):
             # Batched small images: the lane-packed path (measured on
@@ -75,8 +73,7 @@ def ssim_parts_auto(
             and not precise
             and not tile_kwargs
             and a.ndim == 3
-            and a.shape[-1] <= PACK_MAX_W
-            and pack_count(a.shape[-1], a.shape[0], itemsize=4) >= 2
+            and pack_preferred(a.shape[-1], a.shape[0], itemsize=4)
             and a.shape[-2] * a.shape[-1] < 1 << 24
         ):
             # Batched small float images (e.g. 224x224 ML eval crops)

@@ -959,15 +959,32 @@ def ssim_components_pallas(
     return partials
 
 
-#: Widest image the packed-batch path will pack. Measured on v5e
-#: (packed vs adaptive-tile unpacked, Gpix/s): 32^2 5.16/1.28, 64^2
+#: Widest image the packed-batch path packs unconditionally. Measured on
+#: v5e (packed vs adaptive-tile unpacked, Gpix/s): 32^2 5.16/1.28, 64^2
 #: 5.48/3.12, 128^2 7.27/5.07 — unambiguous wins below ~200 lanes. At
 #: 224^2 packing REGRESSES (6.79/8.76 u8, 5.66/8.60 f32 — the unpacked
-#: fast path is anomalously fast at that width and the pack transpose is
-#: pure overhead), and the 256-512 packed wins are small (+5-12%), so
-#: the cutoff sits below the ubiquitous 224 ML-crop size: never regress
-#: the common case to chase the small mid-range wins.
+#: fast path is fast at that width and the pack transpose is pure
+#: overhead), so the unconditional cutoff sits below the ubiquitous 224
+#: ML-crop size. See also PACK_ALIGNED_MAX_W.
 PACK_MAX_W = 192
+#: 128-multiple widths up to this limit also pack: the unpacked fast
+#: path is measurably slow exactly at small 128-aligned widths (u8
+#: packed/unpacked: 256^2 7.34/6.59, 384^2 8.85/8.43, 512^2 9.23/8.22 —
+#: all wins), while the non-multiple 224 loses and 640 (= 5x128, but
+#: past this limit) measured 7.62/8.46.
+PACK_ALIGNED_MAX_W = 512
+
+
+def pack_preferred(w: int, batch: int, itemsize: int = 1) -> bool:
+    """Whether the packed path is measured faster for w-wide batches.
+    The 128-multiple extension is u8-only: the f32 pack transpose moves
+    4x the bytes, and the float mid-range is unmeasured — floats pack
+    only in the unambiguous small range."""
+    if pack_count(w, batch, itemsize) < 2:
+        return False
+    if w <= PACK_MAX_W:
+        return True
+    return itemsize == 1 and w % 128 == 0 and w <= PACK_ALIGNED_MAX_W
 
 
 def pack_count(w: int, batch: int, itemsize: int = 1) -> int:
