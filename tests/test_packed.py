@@ -137,3 +137,25 @@ def test_packed_float_routed_by_engine(rng):
         for i in range(6)
     ]
     np.testing.assert_allclose(batched, singles, rtol=0, atol=2e-6)
+
+
+def test_packed_einstein_frozen_constants(images_dir):
+    """The einstein suite (256x256 — a width the router now sends down
+    the packed path for batches) computed as ONE packed batch must match
+    the reference's frozen quad-precision scalars to the f32 tier."""
+    import os
+
+    from ssim_tpu.testing import frozen
+    from ssim_tpu.utils import load_image
+
+    ref = load_image(os.path.join(images_dir, "einstein.png"))
+    names = list(frozen.EINSTEIN_SUITE)
+    imgs = np.stack([load_image(os.path.join(images_dir, n)) for n in names])
+    refs = np.stack([ref] * len(names))
+    scores = api.compute_ssim(imgs, refs, impl="pallas")
+    from ssim_tpu.ops.ssim_pallas import pack_preferred
+
+    assert pack_preferred(256, len(names))  # this really is the packed path
+    for i, n in enumerate(names):
+        want = frozen.EINSTEIN_SUITE[n]
+        assert abs(scores[i] - want) < frozen.GLOBAL_TOLERANCE_F32, (n, scores[i], want)
