@@ -67,6 +67,31 @@ from ..windows import RADIUS, SIGMA, gaussian_taps
 TILE_H = 32
 TILE_W = 4096
 
+#: Fast-path lane-halo strategy: "auto" (default) picks per width —
+#: "roll" (unwidened bands + roll-with-edge-select hpass) iff
+#: w % 128 == 0, else "concat" (edge-replica halo lanes). Measured on
+#: v5e (roll/concat, Gpix/s): 128-multiples love roll — their w + 2r
+#: concat band crosses a vreg boundary and wastes up to a third of
+#: every op (128² 7.24/5.14, 256² 9.56/6.59, 512² 10.36/8.46, 4K
+#: 10.71/10.37, 1080p 10.38/10.28) — while non-multiples hate it (the
+#: roll wrap point lands mid-vreg: 224² 6.15/8.53). Env override
+#: SSIM_TPU_LANE_MODE=roll|concat exists for benchmarking only.
+import os as _os
+
+_LANE_MODE = _os.environ.get("SSIM_TPU_LANE_MODE", "auto")
+
+
+def _lane_roll_for(w: int, with_map: bool = False) -> bool:
+    if _LANE_MODE != "auto":
+        return _LANE_MODE == "roll"
+    if w % 128 != 0:
+        return False
+    # Roll keeps more temporaries live (rolled copies + edge selects +
+    # the lane iota); with a map output block on top, w=3840 exceeds
+    # scoped VMEM (measured 18.30M vs 16.00M; 1920 fits). Wide with-map
+    # calls keep the concat mode.
+    return not (with_map and w > 2048)
+
 #: Lane overlap of input bands beyond the tile: 2*RADIUS of true halo
 #: rounded to the 128-lane tile. Row overlap is computed per-geometry:
 #: band_rows = round_up(tile_h + 2*RADIUS, 32) keeps u8 bands
@@ -160,6 +185,34 @@ def _make_hpass(t, r, out_w, co=None):
             term = t[r - d] * (lo + hi)
             acc = term if acc is None else acc + term
         return acc + t[r] * jax.lax.slice_in_dim(v, co, co + out_w, axis=-1)
+
+    return hpass
+
+
+def _make_hpass_roll(t, r, out_w):
+    """11-tap symmetric horizontal blur over an UNWIDENED (..., out_w)
+    array: lane shifts come from jnp.roll, and the d wrapped edge lanes
+    are corrected to the clamp-to-edge value with an iota select.
+
+    Mathematically identical to _make_hpass on a halo-widened array
+    (same values, same accumulation order — clamping commutes with the
+    per-column vertical pass), but the band never grows to w + 2r lanes:
+    for widths just under a 128-lane vreg boundary (e.g. 256 -> 266
+    rounds to 384) the concat version wastes a third of every VPU/MXU
+    operation on padding lanes.
+    """
+
+    def hpass(v):
+        lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+        left = v[..., :1]
+        right = v[..., out_w - 1 : out_w]
+        acc = None
+        for d in range(r, 0, -1):  # smallest taps first (parity order)
+            lo = jnp.where(lane < d, left, jnp.roll(v, d, axis=-1))
+            hi = jnp.where(lane >= out_w - d, right, jnp.roll(v, -d, axis=-1))
+            term = t[r - d] * (lo + hi)
+            acc = term if acc is None else acc + term
+        return acc + t[r] * v
 
     return hpass
 
@@ -374,7 +427,11 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
     band = tile_h + 16
     vmats = jnp.asarray(clamped_band_matrices(tile_h, band, taps, h, nh))
     t = [float(v) for v in taps]
-    hpass = _make_hpass(t, r, w, co=r)
+    lane_roll = _lane_roll_for(w, with_map)
+    if lane_roll:
+        hpass = _make_hpass_roll(t, r, w)
+    else:
+        hpass = _make_hpass(t, r, w, co=r)
 
     def kernel(vm_ref, ap_ref, ac_ref, an_ref, bp_ref, bc_ref, bn_ref, *out_refs):
         i = pl.program_id(1)
@@ -402,6 +459,10 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
                     jnp.nan_to_num(raw.astype(jnp.float32)),
                     -clip_bound, clip_bound,
                 )
+            if lane_roll:
+                # The roll-mode hpass clamps edges itself; the band stays
+                # exactly w lanes (no vreg-boundary waste).
+                return raw
             # In-VMEM clamp-to-edge lane halo (reference border rule,
             # src/ssim.cpp:540-555).
             left = jnp.broadcast_to(raw[:, :1], (band, r))
@@ -959,32 +1020,23 @@ def ssim_components_pallas(
     return partials
 
 
-#: Widest image the packed-batch path packs unconditionally. Measured on
-#: v5e (packed vs adaptive-tile unpacked, Gpix/s): 32^2 5.16/1.28, 64^2
-#: 5.48/3.12, 128^2 7.27/5.07 — unambiguous wins below ~200 lanes. At
-#: 224^2 packing REGRESSES (6.79/8.76 u8, 5.66/8.60 f32 — the unpacked
-#: fast path is fast at that width and the pack transpose is pure
-#: overhead), so the unconditional cutoff sits below the ubiquitous 224
-#: ML-crop size. See also PACK_ALIGNED_MAX_W.
+#: Widest image the packed-batch path packs. Measured on v5e (packed vs
+#: adaptive-tile unpacked, Gpix/s): 32^2 5.16/1.28, 64^2 5.48/3.12 —
+#: unambiguous wins for small NON-128-multiple widths, whose unpacked
+#: tiles waste most of their vreg lanes. At 224^2 packing REGRESSES
+#: (6.79/8.76 u8, 5.66/8.60 f32 — the pack transpose is pure overhead
+#: there), so the cutoff sits below the ubiquitous 224 ML-crop size.
+#: 128-MULTIPLE widths never pack: the roll lane mode already removes
+#: their vreg-boundary waste unpacked, and beats or ties the packed
+#: path (128^2 7.24 vs 7.27, 256^2 9.56 vs 7.46, 512^2 10.36 vs 9.23).
 PACK_MAX_W = 192
-#: 128-multiple widths up to this limit also pack: the unpacked fast
-#: path is measurably slow exactly at small 128-aligned widths (u8
-#: packed/unpacked: 256^2 7.34/6.59, 384^2 8.85/8.43, 512^2 9.23/8.22 —
-#: all wins), while the non-multiple 224 loses and 640 (= 5x128, but
-#: past this limit) measured 7.62/8.46.
-PACK_ALIGNED_MAX_W = 512
 
 
 def pack_preferred(w: int, batch: int, itemsize: int = 1) -> bool:
-    """Whether the packed path is measured faster for w-wide batches.
-    The 128-multiple extension is u8-only: the f32 pack transpose moves
-    4x the bytes, and the float mid-range is unmeasured — floats pack
-    only in the unambiguous small range."""
+    """Whether the packed path is measured faster for w-wide batches."""
     if pack_count(w, batch, itemsize) < 2:
         return False
-    if w <= PACK_MAX_W:
-        return True
-    return itemsize == 1 and w % 128 == 0 and w <= PACK_ALIGNED_MAX_W
+    return w <= PACK_MAX_W and not _lane_roll_for(w)
 
 
 def pack_count(w: int, batch: int, itemsize: int = 1) -> int:

@@ -139,10 +139,12 @@ def test_packed_float_routed_by_engine(rng):
     np.testing.assert_allclose(batched, singles, rtol=0, atol=2e-6)
 
 
-def test_packed_einstein_frozen_constants(images_dir):
-    """The einstein suite (256x256 — a width the router now sends down
-    the packed path for batches) computed as ONE packed batch must match
-    the reference's frozen quad-precision scalars to the f32 tier."""
+def test_batched_einstein_frozen_constants(images_dir):
+    """The einstein suite (256x256 — a 128-multiple width, so the fast
+    path uses the roll lane mode) computed as one batch must match the
+    reference's frozen quad-precision scalars to the f32 tier; the same
+    suite run through the EXPLICITLY packed path must agree too (both
+    clamp-to-edge implementations against real image borders)."""
     import os
 
     from ssim_tpu.testing import frozen
@@ -153,9 +155,13 @@ def test_packed_einstein_frozen_constants(images_dir):
     imgs = np.stack([load_image(os.path.join(images_dir, n)) for n in names])
     refs = np.stack([ref] * len(names))
     scores = api.compute_ssim(imgs, refs, impl="pallas")
-    from ssim_tpu.ops.ssim_pallas import pack_preferred
-
-    assert pack_preferred(256, len(names))  # this really is the packed path
     for i, n in enumerate(names):
         want = frozen.EINSTEIN_SUITE[n]
         assert abs(scores[i] - want) < frozen.GLOBAL_TOLERANCE_F32, (n, scores[i], want)
+    parts = ssim_parts_pallas_packed(imgs, refs, interpret=True)
+    packed_scores = engine.finalize_mean(np.asarray(parts), 256 * 256)
+    for i, n in enumerate(names):
+        want = frozen.EINSTEIN_SUITE[n]
+        assert abs(packed_scores[i] - want) < frozen.GLOBAL_TOLERANCE_F32, (
+            n, packed_scores[i], want,
+        )
