@@ -13,7 +13,12 @@ sum_tile) and all of its per-ISA SIMD backends. TPU-first design:
   are consumed directly — each kernel instance reads the previous,
   current, and next row blocks of the same array through three clamped
   BlockSpec index maps and concatenates its 16-row halo band in VMEM.
-  Nothing is ever padded or copied in HBM.
+  Nothing is ever padded or copied in HBM. Lane halos have two modes
+  (_lane_roll_for): 128-multiple widths keep bands at exactly w lanes
+  and clamp inside the horizontal pass (roll + edge-select — widening
+  would cross a vreg boundary and waste up to a third of every op);
+  other widths concatenate edge-replica lanes (a mid-vreg roll wrap is
+  slower than the widened band there).
 - Borders: the clamp-to-edge rule (reference tile-fetch replication,
   src/ssim.cpp:515-583) is folded into per-tile vertical band matrices
   (clamped_band_matrices): out-of-image rows carry zero weight with
