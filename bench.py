@@ -30,9 +30,10 @@ def main():
         ("pallas_1080_map", dict(impl="pallas", with_map=True)),
         ("pallas_8k_nomap", dict(impl="pallas", with_map=False, batch=1, h=4320, w=7680, iters=64)),
         ("pallas_4k_f64mode", dict(impl="pallas", with_map=False, batch=4, h=2160, w=3840, iters=64, precise=True)),
-        # Small-image batch (thumbnail/codec-QA shape): impl="auto"
-        # regression-tracks the routed path — lane packing + adaptive
-        # tile height (impl="pallas" would bypass routing).
+        # Small-image batches (thumbnail/codec-QA shapes), impl="auto" so
+        # the full routing runs: 64^2 tracks the lane-PACKED path (small
+        # non-128-multiple), 128^2 tracks the roll lane mode (multiple).
+        ("auto_64sq_b4096", dict(impl="auto", with_map=False, batch=4096, h=64, w=64, iters=32)),
         ("auto_128sq_b1024", dict(impl="auto", with_map=False, batch=1024, h=128, w=128, iters=64)),
         ("xla_1080_nomap", dict(impl="xla", with_map=False, iters=24)),
     ]:

@@ -45,19 +45,25 @@ def ssim_parts_auto(
     )
     from .ssim_xla import ssim_parts_xla
 
-    if a.dtype == jnp.uint8 and b.dtype == jnp.uint8:
-        if (
+    def pack_routable(itemsize: int) -> bool:
+        # One gate for u8 and float batches: the lane-packed path has no
+        # map/precise modes and an exact-f32 per-image count; the width
+        # policy (small non-128-multiples) lives in pack_preferred.
+        return (
             not with_map
             and not precise
             and not tile_kwargs
             and a.ndim == 3
-            and pack_preferred(a.shape[-1], a.shape[0])
-            and a.shape[-2] * a.shape[-1] < 1 << 24  # exact f32 count
-        ):
+            and data_range >= 1e-6
+            and pack_preferred(a.shape[-1], a.shape[0], itemsize=itemsize)
+            and a.shape[-2] * a.shape[-1] < 1 << 24
+        )
+
+    if a.dtype == jnp.uint8 and b.dtype == jnp.uint8:
+        if pack_routable(itemsize=1):
             # Batched small images: the lane-packed path (measured on
-            # v5e: 32^2 x16384 1.28 -> 5.16, 64^2 x4096 3.10 -> 5.47,
-            # 128^2 x1024 5.07 -> 7.27 Gpix/s; see PACK_MAX_W's comment
-            # for why the cutoff sits below 224).
+            # v5e: 32^2 x16384 1.28 -> 5.16, 64^2 x4096 3.10 -> 5.47
+            # Gpix/s; see PACK_MAX_W's comment for the width policy).
             return ssim_parts_pallas_packed(
                 a, b, data_range=data_range, interpret=interpret
             ), None
@@ -68,16 +74,8 @@ def ssim_parts_auto(
     if a.dtype == b.dtype and _is_float_routable(a.dtype):
         af = a.astype(jnp.float32)
         bf = b.astype(jnp.float32)
-        if (
-            not with_map
-            and not precise
-            and not tile_kwargs
-            and a.ndim == 3
-            and pack_preferred(a.shape[-1], a.shape[0], itemsize=4)
-            and a.shape[-2] * a.shape[-1] < 1 << 24
-        ):
-            # Batched small float images (e.g. 224x224 ML eval crops)
-            # take the lane-packed path too; per-column NaN poisoning
+        if pack_routable(itemsize=4):
+            # Small float batches pack too; per-column NaN poisoning
             # keeps invalid-input propagation per-image.
             return ssim_parts_pallas_packed(
                 af, bf, data_range=data_range, interpret=interpret,

@@ -1103,6 +1103,11 @@ def ssim_parts_pallas_packed(
         )
     if a.ndim != 3:
         raise ValueError(f"packed path needs a (B, H, W) batch, got {a.shape}")
+    if data_range < 1e-6:
+        # Same guard as ssim_parts_pallas: below this c1*c2 denormal-
+        # flushes, breaking the formula AND the garbage-rows==1.0 colsum
+        # identity.
+        raise ValueError(f"data_range {data_range} too small (must be >= 1e-6)")
     batch, h, w = a.shape
     r = RADIUS
     pitch = w + 2 * r

@@ -165,3 +165,17 @@ def test_batched_einstein_frozen_constants(images_dir):
         assert abs(packed_scores[i] - want) < frozen.GLOBAL_TOLERANCE_F32, (
             n, packed_scores[i], want,
         )
+
+
+def test_packed_data_range_guard(rng):
+    """The packed path enforces the same data_range floor as the
+    standard path (c1*c2 denormal-flushes below it), both directly and
+    through the auto route (a review found the batched route silently
+    returning garbage where the single-image call raised)."""
+    a = rng.integers(0, 256, (4, 32, 32), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        ssim_parts_pallas_packed(a, a.copy(), data_range=1e-8, interpret=True)
+    from ssim_tpu.errors import InvalidArgumentError
+
+    with pytest.raises((ValueError, InvalidArgumentError)):
+        api.compute_ssim(a, a.copy(), impl="pallas", data_range=1e-8)
