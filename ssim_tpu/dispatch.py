@@ -93,5 +93,16 @@ def select_impl(impl="auto") -> Implementation:
             else Implementation.XLA
         )
     if not probe.get(impl, False):
-        raise UnsupportedError(f"implementation {impl.value!r} is not available here")
+        # The probe is cached (reference: probe-once select_impl,
+        # src/ssim.cpp:935-945), but availability can legitimately change
+        # within a process — e.g. the native host lib is built AFTER the
+        # first probe. Re-probe once on the failing path only, so the
+        # happy path stays cached and a newly-built backend is picked up
+        # without a process restart.
+        _probe.cache_clear()
+        probe = _probe()
+        if not probe.get(impl, False):
+            raise UnsupportedError(
+                f"implementation {impl.value!r} is not available here"
+            )
     return impl

@@ -139,8 +139,23 @@ def compute(
     b = np.asarray(b)
     validate_pair(a, b)
     downsample = resolve_downsample(downsample, a.shape[-2], a.shape[-1])
+    if precision not in ("f32", "f64"):
+        raise InvalidArgumentError(f"precision must be f32 or f64, got {precision!r}")
+    impl = select_impl(impl)
+    precise = precision == "f64"
+    if precise and not (
+        impl == Implementation.PALLAS
+        and downsample == 1
+        and a.dtype == np.uint8
+        and b.dtype == np.uint8
+    ):
+        # The TPU-native double mode lives in the fused kernel (compensated
+        # df32, ssim_parts_pallas(precise=True)); every other combination
+        # (including pooled inputs, which are float) gets the NumPy f64
+        # oracle.
+        impl = Implementation.REFERENCE
     if downsample > 1:
-        if (impl if isinstance(impl, str) else getattr(impl, "value", impl)) == "host":
+        if impl == Implementation.HOST:
             # Pooling produces float images; the u8-only host backend
             # would reject them with a message blaming the caller's
             # (correct) input dtype — raise the targeted error instead.
@@ -149,19 +164,20 @@ def compute(
                 "images are float; the host backend is uint8-only) — "
                 "use impl='auto'/'pallas'/'xla'"
             )
-        a = box_decimate(a, downsample)
-        b = box_decimate(b, downsample)
-    if precision not in ("f32", "f64"):
-        raise InvalidArgumentError(f"precision must be f32 or f64, got {precision!r}")
-    impl = select_impl(impl)
-    precise = precision == "f64"
-    if precise and not (
-        impl == Implementation.PALLAS and a.dtype == np.uint8 and b.dtype == np.uint8
-    ):
-        # The TPU-native double mode lives in the fused kernel (compensated
-        # df32, ssim_parts_pallas(precise=True)); every other combination
-        # gets the NumPy f64 oracle.
-        impl = Implementation.REFERENCE
+        if impl == Implementation.REFERENCE:
+            # The f64 oracle keeps the host f64 pooling semantics.
+            a = box_decimate(a, downsample)
+            b = box_decimate(b, downsample)
+        else:
+            # Device paths pool on device (reduce_window): a 4K
+            # downsample="auto" call is kernel-dominated, not
+            # host-dominated (measured in docs/RESULTS.md), and the
+            # pooled f32 arrays flow straight into the compute path
+            # without a host round-trip.
+            from .ops.pool import box_decimate_device
+
+            a = box_decimate_device(a, downsample)
+            b = box_decimate_device(b, downsample)
     h, w = a.shape[-2], a.shape[-1]
 
     if impl == Implementation.REFERENCE:

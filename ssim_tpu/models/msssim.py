@@ -70,19 +70,56 @@ def _check_levels(a, levels):
         )
 
 
-def _ms_pallas_forward(a, b, data_range, weights, interpret):
-    """Components-kernel pyramid (forward only)."""
+def _cs_ssim_sums_diff(data_range, interpret):
+    """Per-scale differentiable [sum_cs, sum_ssim]: components-kernel
+    forward, fused analytic-backward kernel (ops/ssim_grad.py) as the
+    VJP — no XLA-formulation compile anywhere in the MS-SSIM training
+    path. Cotangent layout follows the components kernel: g[..., 0] is
+    the sum_cs cotangent (w_cs), g[..., 1] the sum_ssim one (w_s)."""
+    from ..ops.ssim_pallas import ssim_components_pallas
+
+    @jax.custom_vjp
+    def f(xa, xb):
+        parts = ssim_components_pallas(
+            xa, xb, data_range=data_range, interpret=interpret
+        )
+        return jnp.sum(parts, axis=-2)  # (..., 2): [sum_cs, sum_ssim]
+
+    def f_fwd(xa, xb):
+        return f(xa, xb), (xa, xb)
+
+    def f_bwd(res, g):
+        from ..ops.ssim_grad import ssim_grad_pallas
+
+        xa, xb = res
+        return ssim_grad_pallas(
+            xa, xb, g[..., 1], g[..., 0],
+            data_range=data_range, interpret=interpret,
+        )
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def _ms_pallas_forward(a, b, data_range, weights, interpret, diff=False):
+    """Components-kernel pyramid. With diff=True every scale runs through
+    the custom-VJP sums (fused backward kernel), making the whole pyramid
+    natively differentiable — the _downsample2 reduce_window between
+    scales has a standard XLA gradient."""
     from ..ops.ssim_pallas import ssim_components_pallas
 
     levels = len(weights)
     x_a, x_b = a, b
     result = None
     for lvl, w in enumerate(weights):
-        parts = ssim_components_pallas(
-            x_a, x_b, data_range=data_range, interpret=interpret
-        )
         n = x_a.shape[-2] * x_a.shape[-1]
-        sums = jnp.sum(parts, axis=-2) / n  # (..., 2): [mean_cs, mean_ssim]
+        if diff:
+            sums = _cs_ssim_sums_diff(data_range, interpret)(x_a, x_b) / n
+        else:
+            parts = ssim_components_pallas(
+                x_a, x_b, data_range=data_range, interpret=interpret
+            )
+            sums = jnp.sum(parts, axis=-2) / n  # (..., 2): [mean_cs, mean_ssim]
         if lvl == levels - 1:
             # Coarsest scale uses the full SSIM mean (Wang 2003 eq. 7).
             term = jnp.maximum(sums[..., 1], 1e-6) ** w
@@ -142,17 +179,20 @@ def ms_ssim(
     """Jittable MS-SSIM. a, b: (..., H, W); needs min(H, W) >= 11 * 2^(L-1).
 
     Returns scalar for 2-D inputs, (B,) for batched. Differentiable on
-    every path: the Pallas components kernel carries a custom VJP whose
-    backward pass is the XLA formulation (so the first jax.grad call on
-    TPU pays the XLA compile, the forward stays fast).
+    every path: for f32 inputs each pyramid scale carries the fused
+    analytic backward kernel (ops/ssim_grad.py) as its VJP, so forward
+    AND gradient are TPU-native kernels; very wide images fall back to
+    an XLA-formulation VJP (slow first grad compile, same numerics).
 
-    impl: "auto" (the fused components-mode Pallas kernel on TPU — the
-    pure-XLA formulation takes ~160 s/shape to *compile* there — and XLA
-    elsewhere), "pallas", or "xla".
+    impl: "auto" (the fused components-mode Pallas kernel on TPU — ~1.7x
+    the XLA formulation's per-scale throughput — and XLA elsewhere),
+    "pallas", or "xla".
     """
     from ..dispatch import Implementation, backend_platform, select_impl
+    from ..engine import validate_pair
 
     levels = len(weights)
+    validate_pair(a, b)  # static at trace time (same EINVAL surface as engine.compute)
     _check_levels(a, levels)
 
     resolved = select_impl(impl)
@@ -166,6 +206,16 @@ def ms_ssim(
         # VJP wrapper so the forward stays a pure kernel call.
         return _ms_pallas_forward(a, b, data_range, weights, interpret)
 
+    from ..ops.ssim_grad import grad_pallas_supported
+
+    if grad_pallas_supported(a.shape[-2], a.shape[-1]):
+        # Scale 0 is the widest scale, so if it fits the fused backward
+        # every coarser scale does too: the whole pyramid (forward AND
+        # gradient) is TPU-native kernels.
+        return _ms_pallas_forward(a, b, data_range, weights, interpret, diff=True)
+
+    # Very wide images: fused forward, XLA-formulation VJP (slow first
+    # grad compile, same numerics).
     @jax.custom_vjp
     def f(xa, xb):
         return _ms_pallas_forward(xa, xb, data_range, weights, interpret)

@@ -886,7 +886,7 @@ def ssim_parts_pallas(
 
     allow_float=True opts into the float32 input path (an extension
     beyond the reference's u8-only contract, used by the engine so float
-    images don't pay the XLA path's ~160 s/shape TPU compile): the
+    images get the fused kernel's ~1.7x throughput over the XLA path): the
     kernel sanitizes float bands (NaN input pixels become 0; values clip
     to ±131072, which only affects garbage — real pixels live in
     [0, data_range]). It stays opt-in so the default API surface keeps
@@ -978,8 +978,9 @@ def ssim_components_pallas(
 
     Returns (..., K, 2) f32: [:, 0] cs-sums, [:, 1] ssim-sums per tile;
     means follow by summing over K and dividing by H*W. This is the
-    components-mode kernel that makes MS-SSIM usable on TPU (the pure-XLA
-    formulation compiles ~160 s/shape there).
+    components-mode kernel behind the fast MS-SSIM path on TPU (~1.7x
+    the XLA formulation per scale; on the round-1/2 stack the XLA route
+    additionally cost ~160 s/shape to compile, since fixed upstream).
     """
     if a.dtype == jnp.uint8 and b.dtype == jnp.uint8:
         pass
@@ -1038,10 +1039,15 @@ PACK_MAX_W = 192
 
 
 def pack_preferred(w: int, batch: int, itemsize: int = 1) -> bool:
-    """Whether the packed path is measured faster for w-wide batches."""
+    """Whether the packed path is measured faster for w-wide batches.
+
+    Uses the width-only auto rule (w % 128 == 0 gets the roll lane mode
+    unpacked and never packs) rather than _lane_roll_for, so the
+    SSIM_TPU_LANE_MODE benchmarking override changes only the hpass
+    strategy, never the auto-routing packing decision."""
     if pack_count(w, batch, itemsize) < 2:
         return False
-    return w <= PACK_MAX_W and not _lane_roll_for(w)
+    return w <= PACK_MAX_W and w % 128 != 0
 
 
 def pack_count(w: int, batch: int, itemsize: int = 1) -> int:
@@ -1103,6 +1109,14 @@ def ssim_parts_pallas_packed(
         )
     if a.ndim != 3:
         raise ValueError(f"packed path needs a (B, H, W) batch, got {a.shape}")
+    if a.shape[-2] * a.shape[-1] >= 1 << 24:
+        # The per-image pixel count rides as an f32 partial; f32 is exact
+        # only below 2^24. The auto route gates on this (routing.py), but
+        # the invariant belongs to the function that depends on it.
+        raise ValueError(
+            f"packed path needs h*w < 2^24 for an exact f32 count, got "
+            f"{a.shape[-2]}x{a.shape[-1]}"
+        )
     if data_range < 1e-6:
         # Same guard as ssim_parts_pallas: below this c1*c2 denormal-
         # flushes, breaking the formula AND the garbage-rows==1.0 colsum

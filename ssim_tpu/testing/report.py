@@ -42,7 +42,7 @@ def run_report(quick: bool = False, out=sys.stdout):
 
     from ssim_tpu.config import enable_compile_cache
 
-    enable_compile_cache()  # the XLA impl costs ~160 s/shape on TPU uncached
+    enable_compile_cache()  # skip recompiles across report runs
 
     from ssim_tpu import reference
     from ssim_tpu.dispatch import available_impls, Implementation

@@ -442,3 +442,56 @@ def test_compile_cache_degrades_gracefully(monkeypatch, tmp_path):
     blocked.write_text("")  # a file where a parent dir is needed: makedirs
     monkeypatch.setenv("SSIM_TPU_COMPILE_CACHE", str(blocked / "sub"))
     assert enable_compile_cache() is None  # OSError swallowed (works as root)
+
+
+def test_jittable_validation_shape_mismatch(rng):
+    """The jittable APIs validate statically at trace time (reference
+    EINVAL surface, src/ssim.cpp:962-978) instead of surfacing an XLA
+    broadcast error."""
+    from ssim_tpu import ssim, ssim_and_map, ssim_loss
+
+    a = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+    b = rng.integers(0, 256, (48, 63), dtype=np.uint8)
+    for fn in (ssim, ssim_and_map, ssim_loss):
+        with pytest.raises(InvalidArgumentError):
+            fn(a, b)
+
+
+def test_jittable_validation_bad_rank_and_empty(rng):
+    from ssim_tpu import ssim
+
+    a = rng.integers(0, 256, (2, 3, 48, 64), dtype=np.uint8)
+    with pytest.raises(InvalidArgumentError):
+        ssim(a, a)
+    empty = np.zeros((0, 64), dtype=np.uint8)
+    with pytest.raises(InvalidArgumentError):
+        ssim(empty, empty)
+    nobatch = np.zeros((0, 48, 64), dtype=np.uint8)
+    with pytest.raises(InvalidArgumentError):
+        ssim(nobatch, nobatch)
+
+
+def test_msssim_validation_shape_mismatch(rng):
+    from ssim_tpu.models import ms_ssim
+
+    a = rng.random((192, 192)).astype(np.float32)
+    b = rng.random((192, 191)).astype(np.float32)
+    with pytest.raises(InvalidArgumentError):
+        ms_ssim(a, b, data_range=1.0)
+
+
+def test_dispatch_reprobes_when_backend_appears(monkeypatch):
+    """A backend that becomes available after the first probe (e.g. the
+    native host lib built mid-process) is picked up by the re-probe on
+    the failing path — no process restart needed."""
+    from ssim_tpu import dispatch
+    from ssim_tpu.dispatch import Implementation, select_impl
+    from ssim_tpu.ops import host
+
+    dispatch._probe.cache_clear()
+    monkeypatch.setattr(host, "is_available", lambda: False)
+    with pytest.raises(UnsupportedError):
+        select_impl("host")
+    monkeypatch.setattr(host, "is_available", lambda: True)
+    assert select_impl("host") == Implementation.HOST  # no restart needed
+    dispatch._probe.cache_clear()  # leave a clean cache for other tests

@@ -166,3 +166,29 @@ def test_cli_ms_downsample_conflict(rng, tmp_path, capsys):
     Image.fromarray(b).save(p2)
     assert cli.main(["--ms", "--downsample=2", str(p1), str(p2)]) == 1
     assert "--downsample" in capsys.readouterr().err
+
+
+def test_device_pooling_matches_host_for_u8(rng):
+    """The device reduce_window pooling (ops/pool.py) must reproduce the
+    host f64 pooling to 1 ulp for uint8 inputs: the f32 window sum is
+    exact below 2^24; the division is 1-ulp (XLA divide-by-constant is
+    reciprocal-multiply — see the module docstring). Power-of-two
+    factors are bit-exact."""
+    from ssim_tpu.ops.pool import box_decimate_device
+
+    for k in (2, 3, 5, 8):
+        x = rng.integers(0, 256, (3, 97, 131), dtype=np.uint8)
+        host = engine.box_decimate(x, k)
+        dev = np.asarray(box_decimate_device(x, k))
+        if k in (2, 8):
+            np.testing.assert_array_equal(host, dev)
+        else:
+            ulp = np.spacing(np.abs(host).astype(np.float32))
+            assert (np.abs(host - dev) <= ulp).all()
+
+
+def test_device_pooling_collapse_rejected():
+    from ssim_tpu.ops.pool import box_decimate_device
+
+    with pytest.raises(InvalidArgumentError):
+        box_decimate_device(np.zeros((4, 4), np.uint8), 5)

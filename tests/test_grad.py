@@ -1,0 +1,185 @@
+"""Fused backward-kernel tests (ops/ssim_grad.py).
+
+The analytic VJP must agree with the XLA formulation's autodiff VJP — an
+independent derivation of the same gradient (different forward
+expression, borders handled by jnp.pad-edge's own adjoint) — to f32
+tolerance across geometries that exercise every border-fold case, plus
+the cs-cotangent channel MS-SSIM uses and the end-to-end training APIs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import random_pair
+from ssim_tpu.ops.ssim_grad import (
+    GRAD_MAX_W,
+    grad_pallas_supported,
+    ssim_grad_pallas,
+)
+from ssim_tpu.ops.ssim_xla import ssim_parts_xla
+
+
+def _xla_sum_ssim(a, b, data_range):
+    rs, _ = ssim_parts_xla(a, b, with_map=False, data_range=data_range)
+    return jnp.sum(rs)
+
+
+def _float_pair(rng, h, w, batch=None):
+    shape = (h, w) if batch is None else (batch, h, w)
+    a = rng.random(shape).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.08, shape), 0, 1).astype(np.float32)
+    return a, b
+
+
+# Geometries covering: aligned, odd/ragged both dims, single-tile,
+# multi-tile rows, tiny (every lane is an edge fold), wide-ish.
+GEOMETRIES = [(48, 64), (33, 47), (97, 128), (20, 256), (8, 8), (128, 96), (7, 11)]
+
+
+@pytest.mark.parametrize("h,w", GEOMETRIES)
+def test_grad_matches_xla_vjp(rng, h, w):
+    a, b = _float_pair(rng, h, w)
+    ga_x, gb_x = jax.grad(
+        lambda x, y: _xla_sum_ssim(x, y, 1.0), argnums=(0, 1)
+    )(a, b)
+    ga_p, gb_p = ssim_grad_pallas(a, b, 1.0, 0.0, data_range=1.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(ga_p), np.asarray(ga_x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gb_p), np.asarray(gb_x), atol=2e-5)
+
+
+def test_grad_cs_channel_matches_autodiff(rng):
+    """The w_cs cotangent channel (MS-SSIM's per-scale cs sums)."""
+    from ssim_tpu.models.msssim import _l_cs_maps
+    from ssim_tpu.windows import RADIUS, SIGMA, gaussian_taps
+
+    taps = gaussian_taps(np.float32, RADIUS, SIGMA)
+    c1, c2 = np.float32(1e-4), np.float32(9e-4)
+    a, b = _float_pair(rng, 33, 47)
+
+    def cs_sum(x, y):
+        _, cs = _l_cs_maps(x, y, c1, c2, taps)
+        return jnp.sum(cs)
+
+    gx = jax.grad(cs_sum, argnums=(0, 1))(a, b)
+    gp = ssim_grad_pallas(a, b, 0.0, 1.0, data_range=1.0, interpret=True)
+    for p, x in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(x), atol=1e-5)
+
+
+def test_grad_batched_per_image_weights(rng):
+    """Batched images with distinct per-image (w_s, w_cs) weights match
+    per-image single calls."""
+    a0, b0 = _float_pair(rng, 48, 64)
+    a1, b1 = _float_pair(rng, 48, 64)
+    ws = np.array([0.7, -0.3], np.float32)
+    ab, bb = np.stack([a0, a1]), np.stack([b0, b1])
+    da, db = ssim_grad_pallas(ab, bb, ws, 0.0, data_range=1.0, interpret=True)
+    da0, _ = ssim_grad_pallas(a0, b0, 0.7, 0.0, data_range=1.0, interpret=True)
+    da1, _ = ssim_grad_pallas(a1, b1, -0.3, 0.0, data_range=1.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(da[0]), np.asarray(da0), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(da[1]), np.asarray(da1), atol=1e-7)
+
+
+def test_grad_nan_input_poisons_gradients(rng):
+    """A NaN input pixel must surface in the gradients (the in-kernel
+    band sanitize may never hide bad input). Poisoning is per row-tile —
+    the whole 32-row tile containing the pixel goes NaN (a superset of
+    the XLA VJP's local NaN region); other tiles stay clean."""
+    a, b = _float_pair(rng, 48, 64)
+    a = a.copy()
+    a[10, 10] = np.nan
+    da, db = ssim_grad_pallas(a, b, 1.0, 0.0, data_range=1.0, interpret=True)
+    da, db = np.asarray(da), np.asarray(db)
+    assert np.isnan(da[:32]).all() and np.isnan(db[:32]).all()
+    assert np.isfinite(da[32:]).all() and np.isfinite(db[32:]).all()
+
+
+def test_grad_rejects_unsupported(rng):
+    assert not grad_pallas_supported(64, GRAD_MAX_W + 128)
+    assert not grad_pallas_supported(64, 4)  # w <= radius
+    a = np.zeros((8, 4), np.float32)
+    with pytest.raises(ValueError, match="supports"):
+        ssim_grad_pallas(a, a, 1.0, 0.0, interpret=True)
+    au = np.zeros((8, 64), np.uint8)
+    with pytest.raises(ValueError, match="float32"):
+        ssim_grad_pallas(au, au, 1.0, 0.0, interpret=True)
+
+
+def test_ssim_loss_uses_pallas_backward(rng, monkeypatch):
+    """jax.grad(ssim_loss) on an eligible f32 pair routes through the
+    fused backward kernel, not the XLA VJP — and matches it."""
+    import ssim_tpu.ops.ssim_grad as grad_mod
+    from ssim_tpu import ssim_loss
+
+    calls = []
+    real = grad_mod.ssim_grad_pallas
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(grad_mod, "ssim_grad_pallas", spy)
+    # Unique geometry so the jit cache can't serve a pre-spy trace.
+    a, b = _float_pair(rng, 37, 53)
+    gp = jax.grad(lambda x: ssim_loss(x, b, impl="pallas"))(a)
+    assert calls, "fused backward kernel was not invoked"
+    gx = jax.grad(lambda x: ssim_loss(x, b, impl="xla"))(a)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=2e-6)
+
+
+def test_ms_ssim_grad_pallas_matches_xla(rng):
+    from ssim_tpu.models import ms_ssim
+
+    h, w = 192, 176  # 5 scales, ragged at the coarser levels
+    a, b = _float_pair(rng, h, w)
+    gp = jax.grad(
+        lambda x: jnp.sum(ms_ssim(x, b, data_range=1.0, impl="pallas"))
+    )(a)
+    gx = jax.grad(
+        lambda x: jnp.sum(ms_ssim(x, b, data_range=1.0, impl="xla"))
+    )(a)
+    # The forwards differ by kernel-vs-XLA f32 roundoff and the pyramid
+    # multiplies five factors, so tolerance is looser than single-scale.
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=5e-5)
+
+
+def test_ms_ssim_grad_uses_pallas_backward(rng, monkeypatch):
+    import ssim_tpu.ops.ssim_grad as grad_mod
+    from ssim_tpu.models import ms_ssim
+
+    calls = []
+    real = grad_mod.ssim_grad_pallas
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(grad_mod, "ssim_grad_pallas", spy)
+    a, b = _float_pair(rng, 181, 197)  # unique geometry (fresh trace)
+    jax.grad(lambda x: jnp.sum(ms_ssim(x, b, data_range=1.0, impl="pallas")))(a)
+    assert len(calls) == 5, f"expected one backward call per scale, got {len(calls)}"
+
+
+def test_grad_f64_finite_difference_spotcheck(rng):
+    """Independent ground truth: central finite differences of the f64
+    oracle at a handful of pixels (catches a systematically-wrong-but-
+    self-consistent pair of VJPs)."""
+    from ssim_tpu import reference
+
+    h, w = 24, 32
+    a, b = _float_pair(rng, h, w)
+    da, _ = ssim_grad_pallas(a, b, 1.0, 0.0, data_range=1.0, interpret=True)
+    da = np.asarray(da)
+    eps = 1e-4
+    for (y, x) in [(0, 0), (0, 31), (23, 0), (12, 16), (5, 30)]:
+        ap = a.astype(np.float64).copy()
+        am = ap.copy()
+        ap[y, x] += eps
+        am[y, x] -= eps
+        sp, _ = reference.compute_ssim(ap, b.astype(np.float64), data_range=1.0)
+        sm, _ = reference.compute_ssim(am, b.astype(np.float64), data_range=1.0)
+        fd = (sp - sm) / (2 * eps) * (h * w)  # oracle returns the MEAN
+        assert da[y, x] == pytest.approx(fd, rel=2e-3, abs=1e-5)

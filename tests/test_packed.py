@@ -179,3 +179,18 @@ def test_packed_data_range_guard(rng):
 
     with pytest.raises((ValueError, InvalidArgumentError)):
         api.compute_ssim(a, a.copy(), impl="pallas", data_range=1e-8)
+
+
+def test_packed_rejects_oversize_pixel_count():
+    """h*w >= 2^24 would make the f32 per-image count inexact; the packed
+    path enforces its own invariant rather than relying on the auto
+    route's gate."""
+    import jax
+
+    from ssim_tpu.ops.ssim_pallas import ssim_parts_pallas_packed
+
+    a = jax.ShapeDtypeStruct((2, 4096, 4096), np.uint8)
+    with pytest.raises(ValueError, match="2\\^24"):
+        jax.eval_shape(
+            lambda x: ssim_parts_pallas_packed(x, x, interpret=True), a
+        )

@@ -114,7 +114,7 @@ def test_fuzz_geometry(seed):
 
 def test_float_input_fast_path_matches_oracle(rng):
     """allow_float=True: float32 images ride the fused kernel (so TPU
-    users don't pay the XLA path's ~160 s compile). Extension beyond the
+    users get the fused kernel's throughput). Extension beyond the
     reference's u8 contract."""
     from ssim_tpu.ops.ssim_pallas import ssim_parts_pallas
 
