@@ -35,6 +35,16 @@ def main():
         # non-128-multiple), 128^2 tracks the roll lane mode (multiple).
         ("auto_64sq_b4096", dict(impl="auto", with_map=False, batch=4096, h=64, w=64, iters=32)),
         ("auto_128sq_b1024", dict(impl="auto", with_map=False, batch=1024, h=128, w=128, iters=64)),
+        # With-map and f64 variants of the small-image configs, so
+        # regressions in the newer paths stay driver-visible (the packed
+        # path has no map/f64 mode — these track the standard-path
+        # fallbacks those calls take).
+        ("auto_128sq_b1024_map", dict(impl="auto", with_map=True, batch=1024, h=128, w=128, iters=48)),
+        ("auto_64sq_b4096_f64", dict(impl="auto", with_map=False, batch=4096, h=64, w=64, iters=16, precise=True)),
+        # Fused analytic backward kernel (ops/ssim_grad.py) and the
+        # 5-scale MS-SSIM pyramid.
+        ("grad_1080_b4", dict(impl="grad", batch=4, h=1080, w=1920, iters=48)),
+        ("msssim_1080_b4", dict(impl="msssim", batch=4, h=1080, w=1920, iters=48)),
         ("xla_1080_nomap", dict(impl="xla", with_map=False, iters=24)),
     ]:
         try:

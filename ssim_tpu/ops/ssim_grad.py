@@ -61,7 +61,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..windows import RADIUS, SIGMA, gaussian_taps
-from .ssim_pallas import _make_hpass_roll
+from .ssim_pallas import (
+    MXU_MIN_W,
+    _make_hpass,
+    _make_hpass_mxu,
+    _make_hpass_roll,
+    hpass_tap_matrix,
+)
 
 #: Max image width of the fused backward fast path (VMEM-bound: ~12 live
 #: f32 (rows x w) arrays at tile_h 32, under the raised 100 MiB scoped
@@ -165,15 +171,60 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound):
     v1 = jnp.asarray(_fwd_mid_band_matrices(tile_h, taps, h, nh))
     v2t = jnp.asarray(_transpose_band_matrices(tile_h, taps, h, nh))
     t = [float(x) for x in taps]
-    hp = _make_hpass_roll(t, r, w)
+    # Unit split (same as the forward's "mxu" lane mode, HIGHEST-
+    # precision = bit-exact): for wide images the u/v (stage 1) and
+    # Wu/Wv (stage 2) horizontal passes stay on the VPU while the
+    # heavier ss/dd and Wss/Wdd passes run as chunked banded matmuls on
+    # the MXU over a concat-style widened band. Stage 2's adjoint blur
+    # uses the SAME tap matrix (the plain part of the transpose is the
+    # symmetric blur with zero extension — zeros instead of edge
+    # replicas in the widened lanes) plus the 2-lane fold corrections.
+    use_mxu = w >= MXU_MIN_W
+    bw = (-(-w // 128) * 128 + 2 * r) if use_mxu else w
+    if use_mxu:
+        hp = _make_hpass(t, r, w, co=r)
+        hp_mxu = _make_hpass_mxu(w, exact=True)
+        cl = [float(sum(t[r + x + 1 :])) for x in range(r)]
+    else:
+        hp = _make_hpass_roll(t, r, w)
+        hp_mxu = None
     hpT = _make_hpassT_roll(t, r, w)
+    hmat = jnp.asarray(hpass_tap_matrix(taps))
 
-    def kernel(wref, v1_ref, v2t_ref, ap, ac, an, bp, bc, bn, da_ref, db_ref):
+    def kernel(wref, v1_ref, v2t_ref, hm_ref, ap, ac, an, bp, bc, bn,
+               da_ref, db_ref):
         i = pl.program_id(1)
         w_s = wref[0, 0, 0]
         w_cs = wref[0, 0, 1]
         m1 = v1_ref[0]
         m2t = v2t_ref[0]
+        if use_mxu:
+            hm = hm_ref[...]
+            hp_heavy = lambda x: hp_mxu(x, hm)
+
+            def hpT_heavy(wm):
+                # Adjoint blur, MXU plain part: zero-extend to the
+                # slice grid (adjoint of clamping folds, NOT replicas),
+                # then the symmetric tap matrix; fold corrections at
+                # the two image-edge lanes ride on the VPU.
+                z = jnp.zeros(wm.shape[:-1] + (r,), wm.dtype)
+                zr = jnp.zeros(wm.shape[:-1] + (bw - w - r,), wm.dtype)
+                plain = hp_mxu(jnp.concatenate([z, wm, zr], axis=-1), hm)
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, plain.shape, plain.ndim - 1
+                )
+                corr_l = sum(cl[x] * wm[..., x : x + 1] for x in range(r))
+                corr_r = sum(
+                    cl[x] * wm[..., w - 1 - x : w - x] for x in range(r)
+                )
+                return (
+                    plain
+                    + jnp.where(lane == 0, corr_l, 0.0)
+                    + jnp.where(lane == w - 1, corr_r, 0.0)
+                )
+        else:
+            hp_heavy = hp
+            hpT_heavy = hpT
 
         def band_of(prev_ref, cur_ref, nxt_ref):
             raw = jnp.concatenate(
@@ -184,9 +235,17 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound):
             # float-garbage note); zero band weights can't neutralize it
             # once squared, so sanitize. Real NaN inputs are poisoned
             # back into the outputs below.
-            return jnp.clip(
+            raw = jnp.clip(
                 jnp.nan_to_num(raw.astype(jnp.float32)), -clip_bound, clip_bound
             )
+            if not use_mxu:
+                return raw
+            # Concat-style lane halo for the aligned-slice MXU passes
+            # (clamp-to-edge replicas; the VPU hpass uses co=r on the
+            # same band).
+            left = jnp.broadcast_to(raw[:, :1], (band, r))
+            right = jnp.broadcast_to(raw[:, w - 1 : w], (band, bw - w - r))
+            return jnp.concatenate([left, raw, right], axis=1)
 
         af = band_of(ap, ac, an)
         bf = band_of(bp, bc, bn)
@@ -203,8 +262,8 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound):
         # Stage 1: forward blurs at the mid rows (recomputed in VMEM).
         u = hp(vpass(m1, af))
         v = hp(vpass(m1, bf))
-        ss = hp(vpass(m1, s_band * s_band))
-        dd = hp(vpass(m1, d_band * d_band))
+        ss = hp_heavy(vpass(m1, s_band * s_band))
+        dd = hp_heavy(vpass(m1, d_band * d_band))
 
         # Pointwise partials (see module docstring; autodiff-verified).
         uv = u * v
@@ -237,11 +296,14 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound):
         # roll hpass) back to the tile's own rows.
         tu = hpT(vpass(m2t, w_u))
         tv = hpT(vpass(m2t, w_v))
-        tss = hpT(vpass(m2t, w_ss))
-        tdd = hpT(vpass(m2t, w_dd))
+        tss = hpT_heavy(vpass(m2t, w_ss))
+        tdd = hpT_heavy(vpass(m2t, w_dd))
 
         s_out = s_band[16 : 16 + tile_h]
         d_out = d_band[16 : 16 + tile_h]
+        if use_mxu:
+            s_out = s_out[:, r : r + w]
+            d_out = d_out[:, r : r + w]
         da = tu + 2.0 * s_out * tss + 2.0 * d_out * tdd
         db = tv + 2.0 * s_out * tss - 2.0 * d_out * tdd
 
@@ -272,6 +334,8 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound):
                            memory_space=pltpu.VMEM)
     v2t_spec = pl.BlockSpec((1, tile_h, mid), lambda bi, i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+    hm_spec = pl.BlockSpec((138, 128), lambda bi, i: (0, 0),
+                           memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, tile_h, w), lambda bi, i: (bi, i, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((batch, nh * tile_h, w), jnp.float32)
@@ -279,7 +343,7 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound):
     da, db = pl.pallas_call(
         kernel,
         grid=(batch, nh),
-        in_specs=[w_spec, v1_spec, v2t_spec] + specs + specs,
+        in_specs=[w_spec, v1_spec, v2t_spec, hm_spec] + specs + specs,
         out_shape=(out_shape, out_shape),
         out_specs=(out_spec, out_spec),
         compiler_params=pltpu.CompilerParams(
@@ -296,7 +360,7 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(ws.reshape(batch, 1, 2), v1, v2t, a, a, a, b, b, b)
+    )(ws.reshape(batch, 1, 2), v1, v2t, hmat, a, a, a, b, b, b)
     return da[:, :h, :], db[:, :h, :]
 
 

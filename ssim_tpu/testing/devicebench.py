@@ -27,7 +27,11 @@ import numpy as np
 
 
 def make_runner(impl: str, with_map: bool, precise: bool = False):
-    """A jitted (a, b, iters) -> scalar on-device benchmark loop."""
+    """A jitted (a, b, iters) -> scalar on-device benchmark loop.
+
+    impl: a dispatch implementation name, or the two pseudo-impls
+    "grad" (the fused backward kernel, f32 inputs) and "msssim"
+    (the 5-scale pyramid)."""
     import jax
     import jax.numpy as jnp
 
@@ -35,7 +39,20 @@ def make_runner(impl: str, with_map: bool, precise: bool = False):
 
     interpret = backend_platform() != "tpu"
 
-    if impl == "auto":
+    if impl == "grad":
+        from ..ops.ssim_grad import ssim_grad_pallas
+
+        def parts(a, b):
+            da, db = ssim_grad_pallas(
+                a, b, 1.0, 0.0, data_range=255.0, interpret=interpret
+            )
+            return da[..., 0, 0] + db[..., 0, 0], None
+    elif impl == "msssim":
+        from ..models.msssim import ms_ssim
+
+        def parts(a, b):
+            return ms_ssim(a, b, data_range=255.0), None
+    elif impl == "auto":
         # Full routing policy (incl. the lane-packed small-image path).
         from ..ops.routing import ssim_parts_auto
 
@@ -94,6 +111,9 @@ def device_throughput(
     noise = rng.normal(0, 8, a.shape).astype(np.int16)
     b = np.clip(a.astype(np.int16) + noise, 0, 255).astype(np.uint8)
 
+    if impl == "grad":  # the backward kernel is float-only (u8 has no grad)
+        a = a.astype(np.float32)
+        b = b.astype(np.float32)
     a_dev = jax.device_put(a)
     b_dev = jax.device_put(b)
     run = make_runner(impl, with_map, precise=precise)

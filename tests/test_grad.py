@@ -35,8 +35,12 @@ def _float_pair(rng, h, w, batch=None):
 
 
 # Geometries covering: aligned, odd/ragged both dims, single-tile,
-# multi-tile rows, tiny (every lane is an edge fold), wide-ish.
-GEOMETRIES = [(48, 64), (33, 47), (97, 128), (20, 256), (8, 8), (128, 96), (7, 11)]
+# multi-tile rows, tiny (every lane is an edge fold), and >= MXU_MIN_W
+# widths (the hybrid VPU/MXU unit-split branch, aligned and ragged).
+GEOMETRIES = [
+    (48, 64), (33, 47), (97, 128), (20, 256), (8, 8), (128, 96), (7, 11),
+    (64, 640), (40, 517),
+]
 
 
 @pytest.mark.parametrize("h,w", GEOMETRIES)

@@ -49,7 +49,8 @@ print(f"RESULT {pid} {got!r}", flush=True)
 """
 
 
-def test_two_process_mean_ssim(tmp_path):
+def _run_two_process(worker_src):
+    """Launch two coordinated workers, return {pid: RESULT value}."""
     # Pick a free port for the coordinator.
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -63,7 +64,7 @@ def test_two_process_mean_ssim(tmp_path):
 
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _WORKER, str(port), str(pid)],
+            [sys.executable, "-c", worker_src, str(port), str(pid)],
             cwd=repo, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
@@ -90,6 +91,11 @@ def test_two_process_mean_ssim(tmp_path):
                 _, pid, val = line.split(" ", 2)
                 results[int(pid)] = float(eval(val))
     assert set(results) == {0, 1}, outs
+    return results
+
+
+def test_two_process_mean_ssim(tmp_path):
+    results = _run_two_process(_WORKER)
     # Both processes see the same replicated global mean.
     assert results[0] == pytest.approx(results[1], abs=1e-7)
 
@@ -108,3 +114,90 @@ def test_two_process_mean_ssim(tmp_path):
             compute_ssim(a_local[i], b_local[i], impl="xla") for i in range(4)
         )
     assert results[0] == pytest.approx(float(np.mean(scores)), abs=1e-6)
+
+
+_WORKER_PALLAS_BATCH = _WORKER.replace('impl="xla"', 'impl="pallas"')
+
+
+def test_two_process_mean_ssim_fused_kernel():
+    """The FUSED kernel (interpret-mode Pallas on CPU) under real
+    cross-process collectives: shard_map + psum spanning two processes,
+    with the kernel running per-shard."""
+    results = _run_two_process(_WORKER_PALLAS_BATCH)
+    assert results[0] == pytest.approx(results[1], abs=1e-7)
+
+    from ssim_tpu import compute_ssim
+
+    scores = []
+    for pid in (0, 1):
+        rng = np.random.default_rng(1000 + pid)
+        a_local = rng.integers(0, 256, (4, 48, 64), dtype=np.uint8)
+        noise = rng.normal(0, 12, a_local.shape)
+        b_local = np.clip(
+            a_local.astype(np.int32) + noise.astype(np.int32), 0, 255
+        ).astype(np.uint8)
+        scores.extend(
+            compute_ssim(a_local[i], b_local[i], impl="pallas") for i in range(4)
+        )
+    assert results[0] == pytest.approx(float(np.mean(scores)), abs=1e-6)
+
+
+_WORKER_SPATIAL = r"""
+import sys
+import numpy as np
+import jax
+import jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+from ssim_tpu.parallel import multihost
+from ssim_tpu.parallel.spatial import ssim_spatial_sharded
+
+port, pid = sys.argv[1], int(sys.argv[2])
+impl = "IMPL_PLACEHOLDER"
+multihost.initialize(f"localhost:{port}", num_processes=2, process_id=pid)
+assert len(jax.devices()) == 8
+
+mesh = multihost.global_mesh((8,), ("space",))
+
+# One 96x64 image, identical on both processes (same seed); each process
+# contributes its own 48-row half, so the ppermute halo exchange at the
+# 48-row boundary crosses the PROCESS boundary over the coordinator's
+# collectives (the DCN analogue).
+rng = np.random.default_rng(77)
+a_full = rng.integers(0, 256, (96, 64), dtype=np.uint8)
+noise = rng.normal(0, 12, a_full.shape)
+b_full = np.clip(a_full.astype(np.int32) + noise.astype(np.int32), 0, 255).astype(np.uint8)
+
+sharding = NamedSharding(mesh, P("space", None))
+a = jax.make_array_from_process_local_data(sharding, a_full[pid * 48 : (pid + 1) * 48])
+b = jax.make_array_from_process_local_data(sharding, b_full[pid * 48 : (pid + 1) * 48])
+assert a.shape == (96, 64), a.shape
+
+row_sums, _ = ssim_spatial_sharded(a, b, mesh, impl=impl)
+total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(row_sums)
+got = float(total) / (96 * 64)
+print(f"RESULT {pid} {got!r}", flush=True)
+"""
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_two_process_spatial_sharded(impl):
+    """Row-sharded single-image SSIM across two processes: the halo
+    ppermute at the mid-image shard boundary crosses processes. Both the
+    XLA path and the fused kernel (interpret mode) must agree with the
+    single-process score."""
+    worker = _WORKER_SPATIAL.replace("IMPL_PLACEHOLDER", impl)
+    results = _run_two_process(worker)
+    assert results[0] == pytest.approx(results[1], abs=1e-7)
+
+    from ssim_tpu import compute_ssim
+
+    rng = np.random.default_rng(77)
+    a_full = rng.integers(0, 256, (96, 64), dtype=np.uint8)
+    noise = rng.normal(0, 12, a_full.shape)
+    b_full = np.clip(
+        a_full.astype(np.int32) + noise.astype(np.int32), 0, 255
+    ).astype(np.uint8)
+    want = compute_ssim(a_full, b_full, impl=impl)
+    assert results[0] == pytest.approx(want, abs=2e-6)
