@@ -169,6 +169,34 @@ def _pallas_score_with_pallas_vjp(pallas_fn, data_range, interpret, n):
     return f
 
 
+def _pallas_map_with_pallas_vjp(pallas_fn, data_range, interpret, n):
+    """Like _pallas_score_with_pallas_vjp but for (score, map) outputs:
+    the map cotangent rides into the backward kernel as its per-pixel
+    g_map input, so ssim_and_map is differentiable without the XLA
+    formulation too."""
+
+    @jax.custom_vjp
+    def f(xa, xb):
+        return pallas_fn(xa, xb)
+
+    def f_fwd(xa, xb):
+        return f(xa, xb), (xa, xb)
+
+    def f_bwd(res, g):
+        from .ops.ssim_grad import ssim_grad_pallas
+
+        g_score, g_map = g
+        xa, xb = res
+        return ssim_grad_pallas(
+            xa, xb, jnp.asarray(g_score, jnp.float32) / n, 0.0,
+            jnp.asarray(g_map, jnp.float32),
+            data_range=data_range, interpret=interpret,
+        )
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
 def _run_metric(a, b, impl, data_range, with_map):
     """Shared body of ssim/ssim_and_map: dtype routing (ops.routing), a
     differentiable XLA-backed VJP for float inputs on the Pallas impl."""
@@ -211,15 +239,17 @@ def _run_metric(a, b, impl, data_range, with_map):
 
     from .ops.ssim_grad import grad_pallas_supported
 
-    if (
-        not with_map
-        and a.dtype == jnp.float32
-        and grad_pallas_supported(a.shape[-2], a.shape[-1])
+    if a.dtype == jnp.float32 and grad_pallas_supported(
+        a.shape[-2], a.shape[-1]
     ):
-        # f32 score-only calls get the fully TPU-native path: fused
-        # forward + fused analytic backward. Map cotangents, f64/u16
-        # inputs, and very wide images keep the XLA-formulation VJP.
-        f = _pallas_score_with_pallas_vjp(pallas_fn, data_range, interpret, n)
+        # f32 calls get the fully TPU-native path: fused forward + fused
+        # analytic backward (the map cotangent rides as the kernel's
+        # per-pixel g_map input). f64/u16 inputs and very wide images
+        # keep the XLA-formulation VJP.
+        if with_map:
+            f = _pallas_map_with_pallas_vjp(pallas_fn, data_range, interpret, n)
+        else:
+            f = _pallas_score_with_pallas_vjp(pallas_fn, data_range, interpret, n)
     else:
         f = _pallas_forward_with_xla_vjp(pallas_fn, xla_fn)
     return f(a, b)
@@ -241,7 +271,9 @@ def ssim(a, b, *, data_range: float = 255.0, impl: str = "auto") -> jnp.ndarray:
 def ssim_and_map(
     a, b, *, data_range: float = 255.0, impl: str = "auto"
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Jittable (global_ssim, per-pixel map). Differentiable like ssim()."""
+    """Jittable (global_ssim, per-pixel map). Differentiable like ssim():
+    for f32 inputs both the score and the per-pixel map cotangents route
+    through the fused analytic backward kernel (its g_map input)."""
     return _run_metric(a, b, impl, data_range, with_map=True)
 
 

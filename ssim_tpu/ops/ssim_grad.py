@@ -161,7 +161,7 @@ def _make_hpassT_roll(t, r, out_w):
     return hpassT
 
 
-def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound):
+def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None):
     r = RADIUS
     batch = a.shape[0]
     tile_h = 32
@@ -191,8 +191,13 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound):
     hpT = _make_hpassT_roll(t, r, w)
     hmat = jnp.asarray(hpass_tap_matrix(taps))
 
-    def kernel(wref, v1_ref, v2t_ref, hm_ref, ap, ac, an, bp, bc, bn,
-               da_ref, db_ref):
+    with_g = gmap is not None
+
+    def kernel(wref, v1_ref, v2t_ref, hm_ref, *refs):
+        if with_g:
+            (ap, ac, an, bp, bc, bn, gp, gc, gn, da_ref, db_ref) = refs
+        else:
+            (ap, ac, an, bp, bc, bn, da_ref, db_ref) = refs
         i = pl.program_id(1)
         w_s = wref[0, 0, 0]
         w_cs = wref[0, 0, 1]
@@ -251,6 +256,25 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound):
         bf = band_of(bp, bc, bn)
         s_band = af + bf
         d_band = af - bf
+        if with_g:
+            # Per-pixel S cotangent at the mid rows. No blur touches g
+            # itself, so no lane halo; out-of-image rows (ragged-block
+            # garbage AND the wrong-content clamp rows at i=0 / i=nh-1)
+            # are masked to 0 by row index — they would otherwise leak
+            # NaN through the 0-weight V2T columns (0 * NaN = NaN). A
+            # real NaN in the USER's cotangent still propagates through
+            # the valid rows' weight maps, as the XLA VJP would.
+            g_band = jnp.concatenate(
+                [gp[0, tile_h - 16 :], gc[0], gn[0, :16]], axis=0
+            ).astype(jnp.float32)
+            gid = (
+                jax.lax.broadcasted_iota(jnp.int32, g_band.shape, 0)
+                + i * tile_h - 16
+            )
+            g_band = jnp.where((gid >= 0) & (gid < h), g_band, 0.0)
+            coeff_s = w_s + g_band[8 : 8 + mid]
+        else:
+            coeff_s = w_s
 
         def vpass(m, x):
             return jax.lax.dot_general(
@@ -280,15 +304,15 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound):
         half_rb2 = 0.5 * rb2
         d_ss_c = half_rb2 * (1.0 - cs)
         d_dd_c = -half_rb2 * (1.0 + cs)
-        w_ss = (w_s * lum + w_cs) * d_ss_c
-        w_dd = (w_s * lum + w_cs) * d_dd_c
+        w_ss = (coeff_s * lum + w_cs) * d_ss_c
+        w_dd = (coeff_s * lum + w_cs) * d_dd_c
         q = a2 - a1
         rb12 = rb1 * rb2
         drb = rb1 - rb2
-        w_u = w_s * (2.0 * v * q * rb12 - 2.0 * u * s_val * drb) + w_cs * (
+        w_u = coeff_s * (2.0 * v * q * rb12 - 2.0 * u * s_val * drb) + w_cs * (
             (2.0 * u * cs - 2.0 * v) * rb2
         )
-        w_v = w_s * (2.0 * u * q * rb12 - 2.0 * v * s_val * drb) + w_cs * (
+        w_v = coeff_s * (2.0 * u * q * rb12 - 2.0 * v * s_val * drb) + w_cs * (
             (2.0 * v * cs - 2.0 * u) * rb2
         )
 
@@ -340,10 +364,15 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound):
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((batch, nh * tile_h, w), jnp.float32)
 
+    in_specs = [w_spec, v1_spec, v2t_spec, hm_spec] + specs + specs
+    operands = [ws.reshape(batch, 1, 2), v1, v2t, hmat, a, a, a, b, b, b]
+    if with_g:
+        in_specs = in_specs + specs
+        operands = operands + [gmap, gmap, gmap]
     da, db = pl.pallas_call(
         kernel,
         grid=(batch, nh),
-        in_specs=[w_spec, v1_spec, v2t_spec, hm_spec] + specs + specs,
+        in_specs=in_specs,
         out_shape=(out_shape, out_shape),
         out_specs=(out_spec, out_spec),
         compiler_params=pltpu.CompilerParams(
@@ -360,7 +389,7 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(ws.reshape(batch, 1, 2), v1, v2t, hmat, a, a, a, b, b, b)
+    )(*operands)
     return da[:, :h, :], db[:, :h, :]
 
 
@@ -370,17 +399,19 @@ def ssim_grad_pallas(
     b: jnp.ndarray,
     w_s: jnp.ndarray,
     w_cs: jnp.ndarray,
+    g_map=None,
     *,
     data_range: float = 255.0,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused-kernel SSIM gradients: (dL/da, dL/db) for
-    L = w_s * sum_pixels(SSIM) + w_cs * sum_pixels(cs), per image.
+    L = sum_p (w_s + g_map(p)) * SSIM(p) + w_cs * sum_p cs(p), per image.
 
     a, b: float32 (H, W) or (B, H, W); w_s, w_cs: scalars or (B,)
-    per-image cotangent weights (fold any 1/n normalization in). Widths
-    must satisfy grad_pallas_supported; callers fall back to the XLA VJP
-    otherwise.
+    per-image cotangent weights (fold any 1/n normalization in);
+    g_map: optional per-pixel SSIM-map cotangent of the same shape as
+    a (the `ssim_and_map` backward). Widths must satisfy
+    grad_pallas_supported; callers fall back to the XLA VJP otherwise.
     """
     if a.dtype != jnp.float32 or b.dtype != jnp.float32:
         raise ValueError(
@@ -391,6 +422,12 @@ def ssim_grad_pallas(
     if squeeze:
         a = a[None]
         b = b[None]
+        if g_map is not None:
+            g_map = g_map[None]
+    if g_map is not None and g_map.shape != a.shape:
+        raise ValueError(
+            f"g_map shape {g_map.shape} must match images {a.shape}"
+        )
     batch, h, w = a.shape
     if not grad_pallas_supported(h, w):
         raise ValueError(
@@ -407,7 +444,10 @@ def ssim_grad_pallas(
     c1 = float((0.01 * data_range) ** 2)
     c2 = float((0.03 * data_range) ** 2)
     clip_bound = max(131072.0, 4.0 * float(data_range))
-    da, db = _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound)
+    if g_map is not None:
+        g_map = g_map.astype(jnp.float32)
+    da, db = _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound,
+                        gmap=g_map)
     if squeeze:
         da, db = da[0], db[0]
     return da, db

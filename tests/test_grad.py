@@ -187,3 +187,67 @@ def test_grad_f64_finite_difference_spotcheck(rng):
         sm, _ = reference.compute_ssim(am, b.astype(np.float64), data_range=1.0)
         fd = (sp - sm) / (2 * eps) * (h * w)  # oracle returns the MEAN
         assert da[y, x] == pytest.approx(fd, rel=2e-3, abs=1e-5)
+
+
+@pytest.mark.parametrize("h,w", [(48, 64), (33, 47), (40, 517)])
+def test_grad_map_cotangent_matches_xla_vjp(rng, h, w):
+    """Per-pixel map cotangents (the ssim_and_map backward) through the
+    kernel's g_map input vs the XLA autodiff VJP."""
+    a, b = _float_pair(rng, h, w)
+    R = rng.normal(0, 1, (h, w)).astype(np.float32)
+    alpha = 0.37
+
+    def loss(x, y):
+        rs, m = ssim_parts_xla(x, y, with_map=True, data_range=1.0)
+        return alpha * jnp.sum(rs) + jnp.sum(R * m)
+
+    gx = jax.grad(loss, argnums=(0, 1))(a, b)
+    gp = ssim_grad_pallas(
+        a, b, alpha, 0.0, jnp.asarray(R), data_range=1.0, interpret=True
+    )
+    for p, x in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(x), atol=2e-5)
+
+
+def test_ssim_and_map_grad_uses_pallas_backward(rng, monkeypatch):
+    """jax.grad through ssim_and_map (score AND map cotangents) routes
+    through the fused backward kernel and matches the XLA impl."""
+    import ssim_tpu.ops.ssim_grad as grad_mod
+    from ssim_tpu import ssim_and_map
+
+    calls = []
+    real = grad_mod.ssim_grad_pallas
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(grad_mod, "ssim_grad_pallas", spy)
+    a, b = _float_pair(rng, 39, 57)  # unique geometry (fresh trace)
+
+    def loss(x, impl):
+        score, m = ssim_and_map(x, b, data_range=1.0, impl=impl)
+        return score + jnp.sum(m * m)
+
+    gp = jax.grad(lambda x: loss(x, "pallas"))(a)
+    assert calls, "fused backward kernel was not invoked"
+    gx = jax.grad(lambda x: loss(x, "xla"))(a)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=2e-5)
+
+
+def test_grad_map_cotangent_batched(rng):
+    a0, b0 = _float_pair(rng, 48, 64)
+    a1, b1 = _float_pair(rng, 48, 64)
+    R = rng.normal(0, 1, (2, 48, 64)).astype(np.float32)
+    ab, bb = np.stack([a0, a1]), np.stack([b0, b1])
+    da, db = ssim_grad_pallas(
+        ab, bb, 0.0, 0.0, jnp.asarray(R), data_range=1.0, interpret=True
+    )
+    da0, _ = ssim_grad_pallas(
+        a0, b0, 0.0, 0.0, jnp.asarray(R[0]), data_range=1.0, interpret=True
+    )
+    da1, _ = ssim_grad_pallas(
+        a1, b1, 0.0, 0.0, jnp.asarray(R[1]), data_range=1.0, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(da[0]), np.asarray(da0), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(da[1]), np.asarray(da1), atol=1e-7)

@@ -1,4 +1,8 @@
-"""Extended fuzz harness (tools/fuzz_cpu.py [seed] [N]): random geometry x mode x map vs the f64 oracle.
+"""Extended fuzz harness (tools/fuzz_cpu.py [seed] [N] [maxh] [maxw]): random geometry x mode x map vs the f64 oracle.
+
+Mode 6 gradchecks the fused backward kernel against the XLA autodiff
+VJP. Widths default up to 1100 so the MXU lane mode (w >= 512) gets
+real coverage.
 
 CPU interpret mode (fast compile, exact same kernel logic as Mosaic
 minus VMEM-garbage behavior, which tools/soak_tpu.py covers on
@@ -19,14 +23,16 @@ from ssim_tpu import engine, reference
 
 r = np.random.default_rng(int(sys.argv[1]) if len(sys.argv) > 1 else 1234)
 N = int(sys.argv[2]) if len(sys.argv) > 2 else 150
+MAXH = int(sys.argv[3]) if len(sys.argv) > 3 else 320
+MAXW = int(sys.argv[4]) if len(sys.argv) > 4 else 1100
 fails = []
 t0 = time.time()
 for k in range(N):
-    h = int(r.integers(1, 320))
-    w = int(r.integers(1, 560))
+    h = int(r.integers(1, MAXH))
+    w = int(r.integers(1, MAXW))
     with_map = bool(r.integers(0, 2))
     batch = int(r.integers(1, 3))
-    mode = int(r.integers(0, 6))
+    mode = int(r.integers(0, 7))
     a = r.integers(0, 256, (batch, h, w), dtype=np.uint8)
     b = np.clip(a.astype(np.int32) + r.normal(0, 14, a.shape).astype(np.int32), 0, 255).astype(np.uint8)
     kw = dict(with_map=with_map)
@@ -44,8 +50,42 @@ for k in range(N):
         if h // ds < 1 or w // ds < 1:
             continue
         kw["downsample"] = ds
-    else:
+    elif mode == 5:
         kw["impl"] = "xla"
+    else:
+        # mode 6: fused backward kernel vs the XLA autodiff VJP.
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from ssim_tpu.ops.ssim_grad import grad_pallas_supported, ssim_grad_pallas
+        from ssim_tpu.ops.ssim_xla import ssim_parts_xla
+
+        if not grad_pallas_supported(h, w):
+            continue
+        af = (a.astype(np.float32) / 255.0)[0]
+        bf = (b.astype(np.float32) / 255.0)[0]
+        try:
+            ga_x, gb_x = _jax.grad(
+                lambda x, y: _jnp.sum(ssim_parts_xla(x, y, data_range=1.0)[0]),
+                argnums=(0, 1),
+            )(af, bf)
+            ga_p, gb_p = ssim_grad_pallas(af, bf, 1.0, 0.0, data_range=1.0,
+                                          interpret=True)
+        except Exception as e:
+            fails.append((k, mode, h, w, f"{type(e).__name__}: {str(e)[:100]}"))
+            print("EXC", fails[-1], flush=True)
+            continue
+        gerr = max(
+            float(np.abs(np.asarray(ga_p) - np.asarray(ga_x)).max()),
+            float(np.abs(np.asarray(gb_p) - np.asarray(gb_x)).max()),
+        )
+        scale = float(np.abs(np.asarray(ga_x)).max()) + 1e-30
+        if gerr > max(3e-5, 3e-5 * scale):
+            fails.append((k, mode, h, w, f"graderr={gerr:.2e} scale={scale:.2e}"))
+            print("FAIL", fails[-1], flush=True)
+        if k % 20 == 0:
+            print(f".. {k}/{N} t={time.time()-t0:.0f}s", flush=True)
+        continue
     try:
         got, gmap = engine.compute(a, b, impl=kw.pop("impl", "pallas"), data_range=dr, **kw)
     except Exception as e:
