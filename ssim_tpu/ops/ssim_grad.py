@@ -161,10 +161,10 @@ def _make_hpassT_roll(t, r, out_w):
     return hpassT
 
 
-def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None):
+def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
+               tile_h=32):
     r = RADIUS
     batch = a.shape[0]
-    tile_h = 32
     nh = -(-h // tile_h)
     band = tile_h + 32
     mid = tile_h + 16
@@ -393,7 +393,9 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None):
     return da[:, :h, :], db[:, :h, :]
 
 
-@functools.partial(jax.jit, static_argnames=("data_range", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("data_range", "interpret", "tile_h")
+)
 def ssim_grad_pallas(
     a: jnp.ndarray,
     b: jnp.ndarray,
@@ -403,6 +405,7 @@ def ssim_grad_pallas(
     *,
     data_range: float = 255.0,
     interpret: bool = False,
+    tile_h: int = 32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused-kernel SSIM gradients: (dL/da, dL/db) for
     L = sum_p (w_s + g_map(p)) * SSIM(p) + w_cs * sum_p cs(p), per image.
@@ -446,8 +449,12 @@ def ssim_grad_pallas(
     clip_bound = max(131072.0, 4.0 * float(data_range))
     if g_map is not None:
         g_map = g_map.astype(jnp.float32)
+    if tile_h < 16 or tile_h % 8 != 0:
+        # The 16-row halos come from single neighbor blocks (tile_h >=
+        # 16) and sublane alignment wants multiples of 8.
+        raise ValueError(f"tile_h must be a multiple of 8 >= 16, got {tile_h}")
     da, db = _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound,
-                        gmap=g_map)
+                        gmap=g_map, tile_h=tile_h)
     if squeeze:
         da, db = da[0], db[0]
     return da, db

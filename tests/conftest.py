@@ -22,6 +22,16 @@ if not os.environ.get("SSIM_TPU_TEST_TPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+else:
+    # Hardware runs use the persistent compile cache: repeat suite runs
+    # skip the per-shape Mosaic compiles (minutes -> seconds), and
+    # previously-compiled shapes keep working even when this machine's
+    # remote-compile service is flaky (cached executables load from
+    # disk; only FRESH compiles need the service — observed during a
+    # multi-hour service outage where execution stayed healthy).
+    from ssim_tpu.config import enable_compile_cache
+
+    enable_compile_cache()
 
 import numpy as np
 import pytest

@@ -151,3 +151,20 @@ def test_spatial_pallas_matches_unsharded(rng, h):
     want, want_map = compute_ssim(a, b, with_map=True, impl="pallas")
     assert float(got) == pytest.approx(want, abs=1e-6)
     assert np.abs(np.asarray(smap) - want_map).max() < 1e-5
+
+
+def test_spatial_pallas_wide_mxu_mode(rng):
+    """Spatial sharding with a shard width in the MXU lane mode's range
+    (w >= 512): the fused kernel runs per shard under shard_map with the
+    unit-split horizontal passes and must still match the unsharded
+    engine."""
+    from ssim_tpu.parallel.mesh import make_mesh
+    from ssim_tpu.parallel.spatial import ssim_spatial_sharded
+
+    mesh = make_mesh((8,), ("space",))
+    h, w = 96, 640
+    a, b = random_pair(rng, h, w)
+    row_sums, _ = ssim_spatial_sharded(a, b, mesh, impl="pallas")
+    got = float(np.asarray(row_sums, np.float64).sum() / (h * w))
+    want = compute_ssim(a, b, impl="pallas")
+    assert got == pytest.approx(want, abs=2e-6)

@@ -251,3 +251,19 @@ def test_grad_map_cotangent_batched(rng):
     )
     np.testing.assert_allclose(np.asarray(da[0]), np.asarray(da0), atol=1e-7)
     np.testing.assert_allclose(np.asarray(da[1]), np.asarray(da1), atol=1e-7)
+
+
+def test_grad_tile_h_variants_agree(rng):
+    """tile_h is a perf knob, never semantics: every valid height must
+    agree (up to f32 accumulation order in the band matmuls)."""
+    a, b = _float_pair(rng, 97, 640)
+    base, _ = ssim_grad_pallas(a, b, 1.0, 0.0, data_range=1.0, interpret=True)
+    for t in (16, 64, 128):
+        da, _ = ssim_grad_pallas(
+            a, b, 1.0, 0.0, data_range=1.0, interpret=True, tile_h=t
+        )
+        np.testing.assert_allclose(
+            np.asarray(da), np.asarray(base), atol=1e-5
+        )
+    with pytest.raises(ValueError, match="tile_h"):
+        ssim_grad_pallas(a, b, 1.0, 0.0, interpret=True, tile_h=12)
