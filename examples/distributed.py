@@ -5,6 +5,13 @@ Run on a multi-chip TPU slice, or simulate locally:
         python examples/distributed.py
 """
 
+# Runnable straight from a source checkout (no install needed).
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import numpy as np
 
 import jax

@@ -4,6 +4,13 @@ Computes per-channel SSIM of two images and prints each channel's score,
 demonstrating the interleaved-channel API.
 """
 
+# Runnable straight from a source checkout (no install needed).
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import sys
 
 import numpy as np

@@ -5,6 +5,13 @@ library cannot express; this is TPU-native extension surface).
     python examples/training.py
 """
 
+# Runnable straight from a source checkout (no install needed).
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import numpy as np
 
 import jax

@@ -92,3 +92,43 @@ def test_host_rejects_non_u8(rng, host):
 
     with pytest.raises(InvalidArgumentError):
         api.compute_ssim(a, b, impl="host", downsample=2)
+
+
+def test_host_multithread_bands_match_oracle(rng):
+    """The per-thread row-band + ring-buffer + halo-recompute logic only
+    executes with >= 2 OpenMP threads; force 4 threads in a subprocess
+    (they timeshare this 1-core VM — correctness is what's under test)
+    and check band boundaries against the single-thread result."""
+    import os
+    import subprocess
+    import sys
+
+    code = r"""
+import numpy as np, jax
+jax.config.update("jax_platforms", "cpu")
+from ssim_tpu.ops import host
+from ssim_tpu import reference
+assert host.is_available()
+rng = np.random.default_rng(404)
+# Heights chosen so bands are ragged and some threads get partial/empty
+# bands (h=7 with 4 threads: band_h=2, last band 1 row; h=130: bands of
+# 33/33/33/31 with halo recompute at three interior boundaries).
+for h, w in [(130, 96), (7, 64), (64, 257)]:
+    a = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    b = np.clip(a.astype(np.int16) + rng.normal(0, 12, a.shape).astype(np.int16), 0, 255).astype(np.uint8)
+    got, gmap = host.compute(a, b, with_map=True)
+    want, wmap = reference.compute_ssim(a, b, with_map=True)
+    g = float(np.atleast_1d(np.asarray(got))[0])
+    assert abs(g - want) < 2e-6, (h, w, g, want)
+    assert np.abs(np.asarray(gmap) - wmap).max() < 1e-3, (h, w)
+print("OK")
+"""
+    env = dict(os.environ)
+    env["OMP_NUM_THREADS"] = "4"
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-c", code], cwd=repo, env=env,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0 and "OK" in r.stdout, r.stderr[-2000:]
