@@ -143,11 +143,13 @@ def _pallas_forward_with_xla_vjp(pallas_fn, xla_fn):
     return f
 
 
-def _pallas_score_with_pallas_vjp(pallas_fn, data_range, interpret, n):
-    """Fully TPU-native differentiable score: fused-kernel forward AND
+def _pallas_with_pallas_vjp(pallas_fn, data_range, interpret, n, with_map):
+    """Fully TPU-native differentiable wrapper: fused-kernel forward AND
     fused-kernel analytic backward (ops/ssim_grad.py) — no XLA-formulation
     compile anywhere in the training path. The score is sum(SSIM)/n, so
-    the cotangent g becomes the per-image weight w_s = g/n."""
+    its cotangent becomes the per-image weight w_s = g/n; with_map
+    outputs additionally route the per-pixel map cotangent into the
+    backward kernel's g_map input."""
 
     @jax.custom_vjp
     def f(xa, xb):
@@ -160,36 +162,13 @@ def _pallas_score_with_pallas_vjp(pallas_fn, data_range, interpret, n):
         from .ops.ssim_grad import ssim_grad_pallas
 
         xa, xb = res
-        w_s = jnp.asarray(g, jnp.float32) / n
+        if with_map:
+            g_score, g_map = g
+            g_map = jnp.asarray(g_map, jnp.float32)
+        else:
+            g_score, g_map = g, None
         return ssim_grad_pallas(
-            xa, xb, w_s, 0.0, data_range=data_range, interpret=interpret
-        )
-
-    f.defvjp(f_fwd, f_bwd)
-    return f
-
-
-def _pallas_map_with_pallas_vjp(pallas_fn, data_range, interpret, n):
-    """Like _pallas_score_with_pallas_vjp but for (score, map) outputs:
-    the map cotangent rides into the backward kernel as its per-pixel
-    g_map input, so ssim_and_map is differentiable without the XLA
-    formulation too."""
-
-    @jax.custom_vjp
-    def f(xa, xb):
-        return pallas_fn(xa, xb)
-
-    def f_fwd(xa, xb):
-        return f(xa, xb), (xa, xb)
-
-    def f_bwd(res, g):
-        from .ops.ssim_grad import ssim_grad_pallas
-
-        g_score, g_map = g
-        xa, xb = res
-        return ssim_grad_pallas(
-            xa, xb, jnp.asarray(g_score, jnp.float32) / n, 0.0,
-            jnp.asarray(g_map, jnp.float32),
+            xa, xb, jnp.asarray(g_score, jnp.float32) / n, 0.0, g_map,
             data_range=data_range, interpret=interpret,
         )
 
@@ -246,10 +225,7 @@ def _run_metric(a, b, impl, data_range, with_map):
         # analytic backward (the map cotangent rides as the kernel's
         # per-pixel g_map input). f64/u16 inputs and very wide images
         # keep the XLA-formulation VJP.
-        if with_map:
-            f = _pallas_map_with_pallas_vjp(pallas_fn, data_range, interpret, n)
-        else:
-            f = _pallas_score_with_pallas_vjp(pallas_fn, data_range, interpret, n)
+        f = _pallas_with_pallas_vjp(pallas_fn, data_range, interpret, n, with_map)
     else:
         f = _pallas_forward_with_xla_vjp(pallas_fn, xla_fn)
     return f(a, b)
