@@ -36,8 +36,16 @@ def validate_pair(a: np.ndarray, b: np.ndarray) -> None:
         raise InvalidArgumentError(f"empty image: {a.shape}")
     if a.ndim == 3 and a.shape[0] < 1:
         raise InvalidArgumentError("empty batch")
+    import jax.numpy as jnp
+
     for x in (a, b):
-        if not (np.issubdtype(x.dtype, np.integer) or np.issubdtype(x.dtype, np.floating)):
+        # jnp.issubdtype (not np's) so the ml_dtypes low-precision floats
+        # (bfloat16 — THE native TPU dtype — float8s, etc.) are accepted;
+        # they route through the f32 cast like float16 does.
+        if not (
+            jnp.issubdtype(x.dtype, jnp.integer)
+            or jnp.issubdtype(x.dtype, jnp.floating)
+        ):
             raise InvalidArgumentError(f"unsupported dtype {x.dtype}")
 
 

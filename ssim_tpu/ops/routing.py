@@ -26,8 +26,9 @@ import numpy as np
 
 
 def _is_float_routable(dt) -> bool:
-    dt = np.dtype(dt)
-    return dt.kind == "f" or dt == np.uint16
+    # jnp.issubdtype so bfloat16 (kind "V" to NumPy) routes through the
+    # f32 cast like float16/float64 do; the cast widens, so it is exact.
+    return jnp.issubdtype(dt, jnp.floating) or np.dtype(dt) == np.uint16
 
 
 def ssim_parts_auto(

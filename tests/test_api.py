@@ -495,3 +495,42 @@ def test_dispatch_reprobes_when_backend_appears(monkeypatch):
     monkeypatch.setattr(host, "is_available", lambda: True)
     assert select_impl("host") == Implementation.HOST  # no restart needed
     dispatch._probe.cache_clear()  # leave a clean cache for other tests
+
+
+def test_bfloat16_inputs(rng):
+    """bfloat16 — the native TPU dtype — routes through the fused
+    kernel's float path via an exact widening cast, in both the jittable
+    and eager APIs, matching the same values computed in f32."""
+    import jax.numpy as jnp
+
+    from ssim_tpu import ssim
+
+    a = rng.random((48, 64)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.08, a.shape).astype(np.float32), 0, 1)
+    abf = jnp.asarray(a, jnp.bfloat16)
+    bbf = jnp.asarray(b, jnp.bfloat16)
+    want = float(ssim(abf.astype(jnp.float32), bbf.astype(jnp.float32),
+                      data_range=1.0))
+    got = float(ssim(abf, bbf, data_range=1.0))
+    assert got == pytest.approx(want, abs=1e-7)
+    eager = compute_ssim(np.asarray(abf), np.asarray(bbf), data_range=1.0)
+    assert eager == pytest.approx(want, abs=1e-6)
+
+
+def test_bfloat16_msssim_and_loss(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from ssim_tpu import ssim_loss
+    from ssim_tpu.models import ms_ssim
+
+    a = rng.random((192, 208)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.05, a.shape).astype(np.float32), 0, 1)
+    abf, bbf = jnp.asarray(a, jnp.bfloat16), jnp.asarray(b, jnp.bfloat16)
+    ms_bf = float(ms_ssim(abf, bbf, data_range=1.0))
+    ms_f32 = float(ms_ssim(abf.astype(jnp.float32), bbf.astype(jnp.float32),
+                           data_range=1.0))
+    assert ms_bf == pytest.approx(ms_f32, abs=1e-5)
+    # Gradients flow (bf16 tangents via the cast VJP).
+    g = jax.grad(lambda x: ssim_loss(x, bbf, data_range=1.0))(abf)
+    assert g.dtype == jnp.bfloat16 and bool(jnp.isfinite(g.astype(jnp.float32)).all())
