@@ -267,3 +267,29 @@ def test_grad_tile_h_variants_agree(rng):
         )
     with pytest.raises(ValueError, match="tile_h"):
         ssim_grad_pallas(a, b, 1.0, 0.0, interpret=True, tile_h=12)
+
+
+@pytest.mark.parametrize("data_range", [255.0, 1e4])
+def test_grad_data_range_scaling(rng, data_range):
+    """The backward kernel must track the XLA VJP at u8-scale and HDR
+    data ranges (c1/c2 scale quartically; the partials' cancellation
+    structure changes with range)."""
+    a = (rng.random((48, 64)) * data_range).astype(np.float32)
+    b = np.clip(
+        a + rng.normal(0, 0.05 * data_range, a.shape).astype(np.float32),
+        0, data_range,
+    )
+    gx = jax.grad(
+        lambda x, y: jnp.sum(
+            ssim_parts_xla(x, y, with_map=False, data_range=data_range)[0]
+        ),
+        argnums=(0, 1),
+    )(a, b)
+    gp = ssim_grad_pallas(
+        a, b, 1.0, 0.0, data_range=data_range, interpret=True
+    )
+    scale = float(np.abs(np.asarray(gx[0])).max()) + 1e-30
+    for p, x in zip(gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(p), np.asarray(x), atol=3e-5 * max(1.0, scale)
+        )
