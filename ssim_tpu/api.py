@@ -40,6 +40,7 @@ def compute_ssim(
     data_range: float = 255.0,
     precision=None,
     downsample=None,
+    accuracy=None,
 ):
     """Global SSIM of two single-channel images (or batches of them).
 
@@ -51,6 +52,12 @@ def compute_ssim(
     int k — the Wang/pytorch-msssim k x k box-mean prefilter; the score
     and map then describe the pooled (H//k, W//k) image. Incompatible
     with a Params map_buffer (its layout is sized to the full image).
+
+    accuracy (extension, default "standard" = reference-tier accuracy):
+    "relaxed" opts wide images into the fused kernel's fast bf16-split
+    tier (~16-18 vs ~13-14 Gpix/s on v5e; global error typically
+    <=2e-7, bounded ~3.8e-6 — outside the reference f32 build's
+    1.49e-6 tier). See engine.compute.
     """
     params = None
     if isinstance(a, Params):
@@ -76,6 +83,7 @@ def compute_ssim(
     score, ssim_map = engine.compute(
         _unwrap(a), _unwrap(b), with_map=with_map, impl=impl,
         data_range=data_range, precision=precision, downsample=downsample,
+        accuracy=accuracy,
     )
     if params is not None and params.map_buffer is not None:
         # Reference ssimStep/ssimStride map layout (include/rmgr/ssim.h:514-516).
@@ -176,9 +184,15 @@ def _pallas_with_pallas_vjp(pallas_fn, data_range, interpret, n, with_map):
     return f
 
 
-def _run_metric(a, b, impl, data_range, with_map):
+def _run_metric(a, b, impl, data_range, with_map, relaxed=False):
     """Shared body of ssim/ssim_and_map: dtype routing (ops.routing), a
-    differentiable XLA-backed VJP for float inputs on the Pallas impl."""
+    differentiable XLA-backed VJP for float inputs on the Pallas impl.
+
+    relaxed routes the FORWARD through the fused kernel's fast bf16-split
+    tier (ssim_parts_auto(relaxed=True)); the analytic backward kernel
+    stays at standard accuracy (its cost is VPU/algebra-bound, and the
+    gradient of the standard forward is within the relaxed tier's own
+    error of the relaxed forward's gradient)."""
     from .dispatch import backend_platform
     from .ops.routing import pallas_routable, ssim_parts_auto
     from .ops.ssim_xla import ssim_parts_xla
@@ -209,7 +223,7 @@ def _run_metric(a, b, impl, data_range, with_map):
         return finish(
             ssim_parts_auto(
                 xa, xb, with_map=with_map, data_range=data_range,
-                interpret=interpret,
+                interpret=interpret, relaxed=relaxed,
             )
         )
 
@@ -231,30 +245,52 @@ def _run_metric(a, b, impl, data_range, with_map):
     return f(a, b)
 
 
-@functools.partial(jax.jit, static_argnames=("data_range", "impl"))
-def ssim(a, b, *, data_range: float = 255.0, impl: str = "auto") -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("data_range", "impl", "accuracy"))
+def ssim(
+    a, b, *, data_range: float = 255.0, impl: str = "auto",
+    accuracy: str = "standard",
+) -> jnp.ndarray:
     """Jittable global SSIM, f32 on device. a, b: (..., H, W).
 
     Returns scalar for 2-D inputs, (B,) for batched. Differentiable for
     float inputs on every impl: f32 score-only calls use the fused
     analytic backward kernel (ops/ssim_grad.py, ~4 Gpix/s on v5e);
     other cases carry an XLA-formulation custom VJP.
+
+    accuracy="relaxed" opts wide images into the fused kernel's fast
+    bf16-split tier (see compute_ssim); forward only.
     """
-    return _run_metric(a, b, impl, data_range, with_map=False)
+    return _run_metric(a, b, impl, data_range, with_map=False,
+                       relaxed=_relaxed(accuracy))
 
 
-@functools.partial(jax.jit, static_argnames=("data_range", "impl"))
+def _relaxed(accuracy: str) -> bool:
+    if accuracy not in ("standard", "relaxed"):
+        from .errors import InvalidArgumentError
+
+        raise InvalidArgumentError(
+            f'accuracy must be "standard" or "relaxed", got {accuracy!r}'
+        )
+    return accuracy == "relaxed"
+
+
+@functools.partial(jax.jit, static_argnames=("data_range", "impl", "accuracy"))
 def ssim_and_map(
-    a, b, *, data_range: float = 255.0, impl: str = "auto"
+    a, b, *, data_range: float = 255.0, impl: str = "auto",
+    accuracy: str = "standard",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Jittable (global_ssim, per-pixel map). Differentiable like ssim():
     for f32 inputs both the score and the per-pixel map cotangents route
     through the fused analytic backward kernel (its g_map input)."""
-    return _run_metric(a, b, impl, data_range, with_map=True)
+    return _run_metric(a, b, impl, data_range, with_map=True,
+                       relaxed=_relaxed(accuracy))
 
 
-@functools.partial(jax.jit, static_argnames=("data_range", "impl"))
-def ssim_loss(a, b, *, data_range: float = 1.0, impl: str = "auto") -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("data_range", "impl", "accuracy"))
+def ssim_loss(
+    a, b, *, data_range: float = 1.0, impl: str = "auto",
+    accuracy: str = "standard",
+) -> jnp.ndarray:
     """Differentiable perceptual loss: 1 - mean SSIM over the batch.
 
     Defaults to data_range=1.0 (float images in [0, 1]), the common
@@ -266,5 +302,6 @@ def ssim_loss(a, b, *, data_range: float = 1.0, impl: str = "auto") -> jnp.ndarr
     Gpix/s on v5e (f64/u16 inputs and very wide images fall back to the
     XLA formulation's VJP). "xla" forces the XLA path throughout.
     """
-    score = _run_metric(a, b, impl, data_range, with_map=False)
+    score = _run_metric(a, b, impl, data_range, with_map=False,
+                        relaxed=_relaxed(accuracy))
     return 1.0 - jnp.mean(score)

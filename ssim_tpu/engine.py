@@ -118,6 +118,7 @@ def compute(
     data_range: float = 255.0,
     precision: Optional[str] = None,
     downsample=None,
+    accuracy: Optional[str] = None,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Run SSIM end-to-end on host arrays.
 
@@ -129,6 +130,13 @@ def compute(
     df32 (ssim_parts_pallas(precise=True)), measured 2+ orders of
     magnitude inside the reference double build's error tier; non-u8
     inputs or non-Pallas impls fall back to the host NumPy f64 oracle.
+    accuracy: "standard" (default) or "relaxed" — the fused kernel's
+    opt-in fast tier (bf16-split MXU blurs on wide images, ~16-18 vs
+    ~13-14 Gpix/s on v5e; error typically <=2e-7 but bounded at
+    ~3.8e-6, outside the reference f32 build's 1.49e-6 tier — see
+    ssim_parts_pallas(relaxed=True)). A Pallas-kernel hint: other impls
+    and narrow images compute at standard accuracy. Incompatible with
+    precision="f64".
     downsample: None (reference parity — never downsample), "auto" (the
     Wang round(min/256) factor), or an int k >= 1: k x k box-mean +
     decimate prefilter (extension). The score and map then describe the
@@ -149,6 +157,17 @@ def compute(
     downsample = resolve_downsample(downsample, a.shape[-2], a.shape[-1])
     if precision not in ("f32", "f64"):
         raise InvalidArgumentError(f"precision must be f32 or f64, got {precision!r}")
+    if accuracy is None:
+        accuracy = "standard"
+    if accuracy not in ("standard", "relaxed"):
+        raise InvalidArgumentError(
+            f'accuracy must be "standard" or "relaxed", got {accuracy!r}'
+        )
+    relaxed = accuracy == "relaxed"
+    if relaxed and precision == "f64":
+        raise InvalidArgumentError(
+            'accuracy="relaxed" contradicts precision="f64" — pick one tier'
+        )
     impl = select_impl(impl)
     precise = precision == "f64"
     if precise and not (
@@ -227,6 +246,7 @@ def compute(
             data_range=data_range,
             interpret=backend_platform() != "tpu",
             precise=precise,
+            relaxed=relaxed,
             **tile_kwargs,
         )
     else:

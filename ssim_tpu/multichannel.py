@@ -44,12 +44,14 @@ def compute_ssim_channels(
     impl="auto",
     data_range: float = 255.0,
     downsample=None,
+    accuracy=None,
 ) -> ChannelResult:
     """Multi-channel SSIM with the reference CLI's channel policy.
 
     downsample: None / "auto" / int k — the Wang box-mean prefilter
     extension (see engine.compute); applied per channel after the
-    channel policy, so -y pools the luminance plane."""
+    channel policy, so -y pools the luminance plane.
+    accuracy: None/"standard" or "relaxed" (see engine.compute)."""
     a = np.asarray(a)
     b = np.asarray(b)
     if a.shape != b.shape:
@@ -77,7 +79,7 @@ def compute_ssim_channels(
 
     scores, maps = engine.compute(
         a_stack, b_stack, with_map=with_map, impl=impl, data_range=data_range,
-        downsample=downsample,
+        downsample=downsample, accuracy=accuracy,
     )
     scores = np.atleast_1d(np.asarray(scores, dtype=np.float64))
     per_channel = [float(s) for s in scores]

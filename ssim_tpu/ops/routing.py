@@ -39,9 +39,16 @@ def ssim_parts_auto(
     data_range: float = 255.0,
     interpret: bool = False,
     precise: bool = False,
+    relaxed: bool = False,
     **tile_kwargs,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """Fused kernel when the dtype allows it, XLA otherwise."""
+    """Fused kernel when the dtype allows it, XLA otherwise.
+
+    relaxed opts wide images into the kernel's fast loose-accuracy tier
+    (ssim_parts_pallas(relaxed=True), the bf16-split "mxu3x" blurs); it
+    is an accuracy hint for the fused kernel only — the packed path
+    (small widths, where the tier never applies) and the XLA fallback
+    compute at standard accuracy regardless."""
     from .ssim_pallas import (
         pack_preferred,
         ssim_parts_pallas,
@@ -73,7 +80,8 @@ def ssim_parts_auto(
             ), None
         return ssim_parts_pallas(
             a, b, with_map=with_map, data_range=data_range,
-            interpret=interpret, precise=precise, **tile_kwargs,
+            interpret=interpret, precise=precise, relaxed=relaxed,
+            **tile_kwargs,
         )
     if a.dtype == b.dtype and _is_float_routable(a.dtype):
         af = a.astype(jnp.float32)
@@ -89,7 +97,7 @@ def ssim_parts_auto(
             af, bf,
             with_map=with_map, data_range=data_range,
             interpret=interpret, precise=precise, allow_float=True,
-            **tile_kwargs,
+            relaxed=relaxed, **tile_kwargs,
         )
     return ssim_parts_xla(a, b, with_map=with_map, data_range=data_range)
 

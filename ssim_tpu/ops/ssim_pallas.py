@@ -100,7 +100,7 @@ def _lane_roll_for(w: int) -> bool:
 MXU_MIN_W = 512
 
 
-def _lane_mode_for(w: int, precise: bool = False) -> str:
+def _lane_mode_for(w: int, precise: bool = False, relaxed: bool = False) -> str:
     """Fast-path horizontal-blur strategy: "mxu" | "roll" | "concat".
 
     "mxu" (round-3 default for wide images) splits the four blurs across
@@ -133,7 +133,7 @@ def _lane_mode_for(w: int, precise: bool = False) -> str:
     if _LANE_MODE != "auto":
         return _LANE_MODE
     if not precise and w >= MXU_MIN_W:
-        return "mxu"
+        return "mxu3x" if relaxed else "mxu"
     return "roll" if w % 128 == 0 else "concat"
 
 
@@ -516,7 +516,7 @@ def clamped_band_matrices(tile_h: int, band: int, taps: np.ndarray,
 
 def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h,
                         precise=False, components=False, clip_bound=131072.0,
-                        colsum=False):
+                        colsum=False, relaxed=False):
     """Zero-copy fast path: the RAW (B, H, W) images are consumed directly
     by the kernel — no padding pass at all. Each instance reads three
     row blocks per image (prev/cur/next via clamped index maps; ragged
@@ -534,7 +534,7 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
     band = tile_h + 16
     vmats = jnp.asarray(clamped_band_matrices(tile_h, band, taps, h, nh))
     t = [float(v) for v in taps]
-    lane_mode = _lane_mode_for(w, precise)
+    lane_mode = _lane_mode_for(w, precise, relaxed)
     lane_roll = lane_mode == "roll"
     # Roll and mxu keep more temporaries live (rolled/bf16-split copies
     # + edge selects); with a map output block on top, w=3840 exceeds
@@ -797,7 +797,8 @@ def _pick_chunk_w(w: int, tile_h: int = TILE_H, itemsize: int = 1) -> int:
 
 
 def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h,
-                          precise=False, components=False, clip_bound=131072.0):
+                          precise=False, components=False, clip_bound=131072.0,
+                          relaxed=False):
     """Wide-image path (w beyond one tile): the overlap design generalized
     to a 2-D grid of lane chunks — each kernel instance reads FOUR blocks
     per image (row-neighbor x lane-neighbor of the same padded array) and
@@ -826,7 +827,7 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
     # Same unit-split as the fast path (see _lane_mode_for): chunk
     # widths are always >= 512, so the MXU lane mode applies whenever
     # the mode policy allows it (not precise, not env-overridden).
-    lane_mode = _lane_mode_for(chunk_w, precise)
+    lane_mode = _lane_mode_for(chunk_w, precise, relaxed)
     if lane_mode in ("mxu", "mxu3x"):
         hpass_mxu = _make_hpass_mxu(chunk_w, exact=lane_mode == "mxu",
                                     co=COL_OFF)
@@ -1002,7 +1003,7 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
     jax.jit,
     static_argnames=(
         "with_map", "radius", "sigma", "data_range", "interpret",
-        "max_tile_h", "max_tile_w", "precise", "allow_float",
+        "max_tile_h", "max_tile_w", "precise", "allow_float", "relaxed",
     ),
 )
 def ssim_parts_pallas(
@@ -1018,6 +1019,7 @@ def ssim_parts_pallas(
     max_tile_w: int = TILE_W,
     precise: bool = False,
     allow_float: bool = False,
+    relaxed: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Fused-kernel SSIM. a, b: (H, W) or (B, H, W), uint8 (or, with
     allow_float=True, float32 in [0, data_range]).
@@ -1040,6 +1042,17 @@ def ssim_parts_pallas(
     reference's double-build error tier (README.md:92) by ~2 orders of
     magnitude at roughly half the f32-mode throughput.
 
+    relaxed=True opts into the fast loose-accuracy tier ("mxu3x"): wide
+    images (w >= MXU_MIN_W) run the heavy horizontal blurs as 3-pass
+    bf16-split MXU matmuls instead of the f32-equivalent 6-pass HIGHEST
+    dots — measured ~16-18 Gpix/s on v5e (vs ~13-14 standard), with
+    global error typically <=2e-7 but bounded only by the 2-term bf16
+    split (~2^-17 relative; up to ~3.8e-6 observed on impulse-noise
+    content — outside the reference f32 build's 1.49e-6 tier, hence
+    opt-in; see _lane_mode_for). No-op for small widths, where the
+    roll/concat modes are already optimal. Incompatible with
+    precise=True (which guarantees bit-exact f32 blurs).
+
     allow_float=True opts into the float32 input path (an extension
     beyond the reference's u8-only contract, used by the engine so float
     images get the fused kernel's ~1.7x throughput over the XLA path): the
@@ -1052,6 +1065,11 @@ def ssim_parts_pallas(
     if radius != RADIUS:
         raise ValueError("the fused kernel is specialized to radius 5, like the "
                          "reference's fast paths (src/ssim.cpp:364)")
+    if relaxed and precise:
+        raise ValueError(
+            "relaxed (loose bf16-split blurs) contradicts precise "
+            "(compensated double-float) — pick one accuracy tier"
+        )
     if data_range < 1e-6:
         # c1*c2 = 9e-8 * data_range^4 must stay a normal f32 (TPUs flush
         # subnormals): below this the formula itself degenerates and the
@@ -1099,13 +1117,13 @@ def ssim_parts_pallas(
         )
         partials, ssim_map = _nopad_overlap_call(
             a, b, h, w, taps, c1, c2, with_map, interpret, tile_h,
-            precise=precise, clip_bound=clip_bound,
+            precise=precise, clip_bound=clip_bound, relaxed=relaxed,
         )
     else:
         partials, ssim_map = _chunked_overlap_call(
             a, b, h, w, taps, c1, c2, with_map, interpret,
             TILE_H if max_tile_h is None else max_tile_h,
-            precise=precise, clip_bound=clip_bound,
+            precise=precise, clip_bound=clip_bound, relaxed=relaxed,
         )
     if squeeze:
         partials = partials[0]

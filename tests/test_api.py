@@ -534,3 +534,29 @@ def test_bfloat16_msssim_and_loss(rng):
     # Gradients flow (bf16 tangents via the cast VJP).
     g = jax.grad(lambda x: ssim_loss(x, bbf, data_range=1.0))(abf)
     assert g.dtype == jnp.bfloat16 and bool(jnp.isfinite(g.astype(jnp.float32)).all())
+
+
+def test_accuracy_relaxed_api(rng):
+    """The accuracy knob end-to-end: compute_ssim(accuracy="relaxed")
+    stays inside the loose envelope; bad values and the f64 conflict
+    raise InvalidArgumentError; the jittable ssim accepts it too."""
+    import jax.numpy as jnp
+
+    from ssim_tpu import compute_ssim
+    from ssim_tpu.api import ssim
+    from ssim_tpu.errors import InvalidArgumentError
+
+    a = rng.integers(0, 256, (37, 617), dtype=np.uint8)
+    b = np.clip(a.astype(np.int16) + rng.integers(-9, 9, a.shape), 0, 255).astype(np.uint8)
+    want = compute_ssim(a, b)
+    got = compute_ssim(a, b, accuracy="relaxed")
+    assert got == pytest.approx(want, abs=1e-4)
+    got_jit = float(ssim(jnp.asarray(a), jnp.asarray(b), accuracy="relaxed"))
+    assert got_jit == pytest.approx(want, abs=1e-4)
+
+    with pytest.raises(InvalidArgumentError):
+        compute_ssim(a, b, accuracy="loose")
+    with pytest.raises(InvalidArgumentError):
+        compute_ssim(a, b, accuracy="relaxed", precision="f64")
+    with pytest.raises(InvalidArgumentError):
+        ssim(jnp.asarray(a), jnp.asarray(b), accuracy="bogus")

@@ -150,3 +150,15 @@ def test_pnm_image_loading(tmp_path, rng):
     p6.write_bytes(b"P6\n16 12\n255\n" + rgbi.tobytes())
     np.testing.assert_array_equal(load_image(str(p5)), gray)
     np.testing.assert_array_equal(load_image(str(p6)), rgbi)
+
+
+def test_cli_relaxed_flag(image_pair, capsys):
+    """--relaxed computes within the loose tier of the standard score;
+    --relaxed --ms is rejected."""
+    a, b, pa, pb = image_pair
+    assert cli.main(["-y", "--relaxed", pa, pb]) == 0
+    got = float(capsys.readouterr().out.strip())
+    want = compute_ssim(luminance_bt601(a), luminance_bt601(b))
+    assert got == pytest.approx(want, abs=1e-3)
+    assert cli.main(["--relaxed", "--ms", pa, pb]) == 1
+    assert "--relaxed" in capsys.readouterr().err

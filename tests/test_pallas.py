@@ -322,3 +322,39 @@ def test_lane_mode_mxu3x_loose_tier(rng):
     got = float(np.asarray(p, np.float64).sum() / a.size)
     assert abs(got - want) < 1e-4
     assert np.abs(np.asarray(m)[5:-5, 5:-5] - want_map[5:-5, 5:-5]).max() < 5e-3
+
+
+def test_relaxed_kwarg_loose_tier(rng):
+    """accuracy="relaxed" (the mxu3x tier as a first-class knob, no env
+    var): wide images stay inside the documented loose envelope and the
+    result is NOT required to hit the strict f32 tier."""
+    import ssim_tpu.ops.ssim_pallas as sp
+
+    a, b = random_pair(rng, 47, 613)
+    p, m = sp.ssim_parts_pallas(a, b, with_map=True, interpret=True,
+                                relaxed=True)
+    want, want_map = reference.compute_ssim(a, b, with_map=True)
+    got = float(np.asarray(p, np.float64).sum() / a.size)
+    assert abs(got - want) < 1e-4
+    assert np.abs(np.asarray(m)[5:-5, 5:-5] - want_map[5:-5, 5:-5]).max() < 5e-3
+
+
+def test_relaxed_noop_below_mxu_min_w(rng):
+    """Below MXU_MIN_W the relaxed tier never applies (roll/concat are
+    already optimal there): results are bit-identical to standard."""
+    import ssim_tpu.ops.ssim_pallas as sp
+
+    a, b = random_pair(rng, 33, 320)
+    p0, m0 = sp.ssim_parts_pallas(a, b, with_map=True, interpret=True)
+    p1, m1 = sp.ssim_parts_pallas(a, b, with_map=True, interpret=True,
+                                  relaxed=True)
+    assert np.array_equal(np.asarray(p0), np.asarray(p1))
+    assert np.array_equal(np.asarray(m0), np.asarray(m1))
+
+
+def test_relaxed_precise_conflict(rng):
+    import ssim_tpu.ops.ssim_pallas as sp
+
+    a, b = random_pair(rng, 32, 640)
+    with pytest.raises(ValueError, match="relaxed"):
+        sp.ssim_parts_pallas(a, b, interpret=True, precise=True, relaxed=True)
