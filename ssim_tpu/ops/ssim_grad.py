@@ -52,7 +52,7 @@ throughput.
 """
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -405,7 +405,7 @@ def ssim_grad_pallas(
     *,
     data_range: float = 255.0,
     interpret: bool = False,
-    tile_h: int = 32,
+    tile_h: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused-kernel SSIM gradients: (dL/da, dL/db) for
     L = sum_p (w_s + g_map(p)) * SSIM(p) + w_cs * sum_p cs(p), per image.
@@ -415,6 +415,8 @@ def ssim_grad_pallas(
     g_map: optional per-pixel SSIM-map cotangent of the same shape as
     a (the `ssim_and_map` backward). Widths must satisfy
     grad_pallas_supported; callers fall back to the XLA VJP otherwise.
+    tile_h: grid row-block height; None picks the measured-best default
+    (64 up to 4K widths, 32 beyond — see the inline sweep note).
     """
     if a.dtype != jnp.float32 or b.dtype != jnp.float32:
         raise ValueError(
@@ -449,6 +451,12 @@ def ssim_grad_pallas(
     clip_bound = max(131072.0, 4.0 * float(data_range))
     if g_map is not None:
         g_map = g_map.astype(jnp.float32)
+    if tile_h is None:
+        # Measured on v5e (2026-08-17 sweep): tile_h=64 wins at 1080p
+        # (5689 vs 5139 Mpix/s) and 4K (5842 vs 5336) — the halo
+        # recompute overhead is (tile_h+32)/tile_h — but at 8K width the
+        # larger live bands strain VMEM and 32 is faster (1866 vs 1745).
+        tile_h = 64 if w <= 3840 else 32
     if tile_h < 16 or tile_h % 8 != 0:
         # The 16-row halos come from single neighbor blocks (tile_h >=
         # 16) and sublane alignment wants multiples of 8.

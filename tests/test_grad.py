@@ -90,12 +90,14 @@ def test_grad_batched_per_image_weights(rng):
 def test_grad_nan_input_poisons_gradients(rng):
     """A NaN input pixel must surface in the gradients (the in-kernel
     band sanitize may never hide bad input). Poisoning is per row-tile —
-    the whole 32-row tile containing the pixel goes NaN (a superset of
-    the XLA VJP's local NaN region); other tiles stay clean."""
+    the whole tile_h-row tile containing the pixel goes NaN (a superset
+    of the XLA VJP's local NaN region); other tiles stay clean. Pinned
+    to tile_h=32 so the granularity assertion is tile-size-exact."""
     a, b = _float_pair(rng, 48, 64)
     a = a.copy()
     a[10, 10] = np.nan
-    da, db = ssim_grad_pallas(a, b, 1.0, 0.0, data_range=1.0, interpret=True)
+    da, db = ssim_grad_pallas(a, b, 1.0, 0.0, data_range=1.0, interpret=True,
+                              tile_h=32)
     da, db = np.asarray(da), np.asarray(db)
     assert np.isnan(da[:32]).all() and np.isnan(db[:32]).all()
     assert np.isfinite(da[32:]).all() and np.isfinite(db[32:]).all()
