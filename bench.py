@@ -30,6 +30,10 @@ def main():
         ("pallas_1080_map", dict(impl="pallas", with_map=True)),
         ("pallas_8k_nomap", dict(impl="pallas", with_map=False, batch=1, h=4320, w=7680, iters=64)),
         ("pallas_4k_f64mode", dict(impl="pallas", with_map=False, batch=4, h=2160, w=3840, iters=64, precise=True)),
+        # Opt-in loose-accuracy tier (accuracy="relaxed"): bf16-split
+        # MXU blurs on wide images. Diagnostic only - NOT headline-
+        # eligible (its error tier is outside the reference's f32 one).
+        ("pallas_4k_relaxed", dict(impl="pallas", with_map=False, batch=4, h=2160, w=3840, iters=128, relaxed=True)),
         # Small-image batches (thumbnail/codec-QA shapes), impl="auto" so
         # the full routing runs: 64^2 tracks the lane-PACKED path (small
         # non-128-multiple), 128^2 tracks the roll lane mode (multiple).

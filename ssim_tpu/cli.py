@@ -30,7 +30,8 @@ def print_help(file=sys.stdout):
         "  --downsample[=auto|K]  Box-mean prefilter (Wang round(min/256)\n"
         "      factor, or explicit K); the map is then pooled-size\n"
         "  --relaxed  Fast loose-accuracy tier on wide images (bf16-split\n"
-        "      MXU blurs, ~16-18 vs ~13-14 Gpix/s; error <= ~4e-6)\n\n"
+        "      MXU blurs, ~16-18 vs ~13-14 Gpix/s; error <= ~4e-6);\n"
+        "      applies to --ms too (its wide pyramid scales)\n\n"
     )
 
 
@@ -125,9 +126,6 @@ def main(argv=None) -> int:
             # would misreport what was computed.
             sys.stderr.write("--downsample cannot be combined with --ms\n")
             return 1
-        if accuracy is not None:
-            sys.stderr.write("--relaxed cannot be combined with --ms\n")
-            return 1
         try:
             if img1.ndim == 3 and (luminance or only_channel < 0):
                 m1, m2 = luminance_bt601(img1), luminance_bt601(img2)
@@ -135,7 +133,7 @@ def main(argv=None) -> int:
                 m1, m2 = img1[:, :, only_channel], img2[:, :, only_channel]
             else:
                 m1, m2 = img1, img2
-            score = compute_ms_ssim(m1, m2)
+            score = compute_ms_ssim(m1, m2, accuracy=accuracy or "standard")
         except Exception as e:
             sys.stderr.write(f"{e}\n")
             return 1

@@ -70,18 +70,20 @@ def _check_levels(a, levels):
         )
 
 
-def _cs_ssim_sums_diff(data_range, interpret):
+def _cs_ssim_sums_diff(data_range, interpret, relaxed=False):
     """Per-scale differentiable [sum_cs, sum_ssim]: components-kernel
     forward, fused analytic-backward kernel (ops/ssim_grad.py) as the
     VJP — no XLA-formulation compile anywhere in the MS-SSIM training
     path. Cotangent layout follows the components kernel: g[..., 0] is
-    the sum_cs cotangent (w_cs), g[..., 1] the sum_ssim one (w_s)."""
+    the sum_cs cotangent (w_cs), g[..., 1] the sum_ssim one (w_s).
+    relaxed applies to the forward only (same contract as api.ssim)."""
     from ..ops.ssim_pallas import ssim_components_pallas
 
     @jax.custom_vjp
     def f(xa, xb):
         parts = ssim_components_pallas(
-            xa, xb, data_range=data_range, interpret=interpret
+            xa, xb, data_range=data_range, interpret=interpret,
+            relaxed=relaxed,
         )
         return jnp.sum(parts, axis=-2)  # (..., 2): [sum_cs, sum_ssim]
 
@@ -101,7 +103,8 @@ def _cs_ssim_sums_diff(data_range, interpret):
     return f
 
 
-def _ms_pallas_forward(a, b, data_range, weights, interpret, diff=False):
+def _ms_pallas_forward(a, b, data_range, weights, interpret, diff=False,
+                       relaxed=False):
     """Components-kernel pyramid. With diff=True every scale runs through
     the custom-VJP sums (fused backward kernel), making the whole pyramid
     natively differentiable — the _downsample2 reduce_window between
@@ -114,10 +117,11 @@ def _ms_pallas_forward(a, b, data_range, weights, interpret, diff=False):
     for lvl, w in enumerate(weights):
         n = x_a.shape[-2] * x_a.shape[-1]
         if diff:
-            sums = _cs_ssim_sums_diff(data_range, interpret)(x_a, x_b) / n
+            sums = _cs_ssim_sums_diff(data_range, interpret, relaxed)(x_a, x_b) / n
         else:
             parts = ssim_components_pallas(
-                x_a, x_b, data_range=data_range, interpret=interpret
+                x_a, x_b, data_range=data_range, interpret=interpret,
+                relaxed=relaxed,
             )
             sums = jnp.sum(parts, axis=-2) / n  # (..., 2): [mean_cs, mean_ssim]
         if lvl == levels - 1:
@@ -167,7 +171,9 @@ def _pallas_eligible(a, b):
     return a.dtype in (jnp.uint8, jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("data_range", "weights", "impl"))
+@functools.partial(
+    jax.jit, static_argnames=("data_range", "weights", "impl", "accuracy")
+)
 def ms_ssim(
     a: jnp.ndarray,
     b: jnp.ndarray,
@@ -175,6 +181,7 @@ def ms_ssim(
     data_range: float = 255.0,
     weights: Tuple[float, ...] = MS_SSIM_WEIGHTS,
     impl: str = "auto",
+    accuracy: str = "standard",
 ) -> jnp.ndarray:
     """Jittable MS-SSIM. a, b: (..., H, W); needs min(H, W) >= 11 * 2^(L-1).
 
@@ -187,11 +194,18 @@ def ms_ssim(
     impl: "auto" (the fused components-mode Pallas kernel on TPU — ~1.7x
     the XLA formulation's per-scale throughput — and XLA elsewhere),
     "pallas", or "xla".
+
+    accuracy="relaxed" opts the wide pyramid scales (w >= MXU_MIN_W —
+    in the canonical 5-scale pyramid usually scales 0-1) into the fused
+    kernel's loose bf16-split blur tier (see api.ssim); forward only,
+    Pallas impl only (the XLA path computes at standard accuracy).
     """
+    from ..api import _relaxed
     from ..dispatch import Implementation, backend_platform, select_impl
     from ..engine import validate_pair
 
     levels = len(weights)
+    relaxed = _relaxed(accuracy)
     validate_pair(a, b)  # static at trace time (same EINVAL surface as engine.compute)
     _check_levels(a, levels)
 
@@ -204,7 +218,8 @@ def ms_ssim(
     if a.dtype != jnp.float32:
         # u8 inputs are not differentiable (integer tangents); skip the
         # VJP wrapper so the forward stays a pure kernel call.
-        return _ms_pallas_forward(a, b, data_range, weights, interpret)
+        return _ms_pallas_forward(a, b, data_range, weights, interpret,
+                                  relaxed=relaxed)
 
     from ..ops.ssim_grad import grad_pallas_supported
 
@@ -212,13 +227,15 @@ def ms_ssim(
         # Scale 0 is the widest scale, so if it fits the fused backward
         # every coarser scale does too: the whole pyramid (forward AND
         # gradient) is TPU-native kernels.
-        return _ms_pallas_forward(a, b, data_range, weights, interpret, diff=True)
+        return _ms_pallas_forward(a, b, data_range, weights, interpret,
+                                  diff=True, relaxed=relaxed)
 
     # Very wide images: fused forward, XLA-formulation VJP (slow first
     # grad compile, same numerics).
     @jax.custom_vjp
     def f(xa, xb):
-        return _ms_pallas_forward(xa, xb, data_range, weights, interpret)
+        return _ms_pallas_forward(xa, xb, data_range, weights, interpret,
+                                  relaxed=relaxed)
 
     def f_fwd(xa, xb):
         return f(xa, xb), (xa, xb)
@@ -236,9 +253,10 @@ def ms_ssim(
 
 def compute_ms_ssim(a, b, *, data_range: float = 255.0,
                     weights: Sequence[float] = MS_SSIM_WEIGHTS,
-                    impl: str = "auto") -> float:
+                    impl: str = "auto", accuracy: str = "standard") -> float:
     """Eager convenience wrapper (host arrays in, float out)."""
     res = ms_ssim(jnp.asarray(np.asarray(a)), jnp.asarray(np.asarray(b)),
-                  data_range=data_range, weights=tuple(weights), impl=impl)
+                  data_range=data_range, weights=tuple(weights), impl=impl,
+                  accuracy=accuracy)
     out = np.asarray(res)
     return float(out) if out.ndim == 0 else out

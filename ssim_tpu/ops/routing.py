@@ -46,9 +46,10 @@ def ssim_parts_auto(
 
     relaxed opts wide images into the kernel's fast loose-accuracy tier
     (ssim_parts_pallas(relaxed=True), the bf16-split "mxu3x" blurs); it
-    is an accuracy hint for the fused kernel only — the packed path
-    (small widths, where the tier never applies) and the XLA fallback
-    compute at standard accuracy regardless."""
+    is an accuracy hint for the fused kernel only — the XLA fallback
+    computes at standard accuracy regardless. The lane-packed path
+    honors it too (its packed rows are wide even when the images are
+    small)."""
     from .ssim_pallas import (
         pack_preferred,
         ssim_parts_pallas,
@@ -76,7 +77,8 @@ def ssim_parts_auto(
             # v5e: 32^2 x16384 1.28 -> 5.16, 64^2 x4096 3.10 -> 5.47
             # Gpix/s; see PACK_MAX_W's comment for the width policy).
             return ssim_parts_pallas_packed(
-                a, b, data_range=data_range, interpret=interpret
+                a, b, data_range=data_range, interpret=interpret,
+                relaxed=relaxed,
             ), None
         return ssim_parts_pallas(
             a, b, with_map=with_map, data_range=data_range,
@@ -91,7 +93,7 @@ def ssim_parts_auto(
             # keeps invalid-input propagation per-image.
             return ssim_parts_pallas_packed(
                 af, bf, data_range=data_range, interpret=interpret,
-                allow_float=True,
+                allow_float=True, relaxed=relaxed,
             ), None
         return ssim_parts_pallas(
             af, bf,

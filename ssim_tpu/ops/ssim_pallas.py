@@ -240,7 +240,9 @@ def _pick_tile_h(
     than t=128) — then, among minimizers, pick the tile area closest to
     _TILE_AREA_TARGET. Wins: 256x256 b256 4.56 -> 6.61 Gpix/s (t=128),
     128x128 b1024 3.55 -> 5.11 (t=128), 360x640 b64 6.58 -> 8.44 (t=64),
-    64x64 b4096 2.62 -> 3.12 (t=64); 1080p/4K unchanged (t=32).
+    64x64 b4096 2.62 -> 3.12 (t=64); 4K unchanged (t=32, the only
+    budget-fitting height). In the MXU lane mode (u8, w >= MXU_MIN_W)
+    the tie-break instead prefers 64 — see the inline note.
     precise mode halves the budget (df32 temporaries), degrading to the
     legacy 32 whenever the budget has no candidate. float_input selects
     the tighter _FLOAT_FAST_PATH_BUDGET (f32 input blocks are 4x u8's).
@@ -253,6 +255,16 @@ def _pick_tile_h(
         return 32
     padded = {t: -(-h // t) * t for t in cands}
     best = min(padded.values())
+    if not precise and not float_input and w >= MXU_MIN_W:
+        # MXU lane mode (u8, wide): 64 is the measured-best minimizer —
+        # the per-tile banded matmuls amortize better than at 32, while
+        # 128+ regresses (v5e: 1080p b4 12973->13413 no-map /
+        # 12835->13454 map at 32->64; 1024x1536 b8 12543->13426;
+        # 512^2 b64 11357 @64 vs 8085 @128; 256^2 @256 worse than @128).
+        return min(
+            (t for t in cands if padded[t] == best),
+            key=lambda t: (abs(t - 64), -t),
+        )
     target = _TILE_AREA_TARGET / max(1, w)
     return min(
         (t for t in cands if padded[t] == best),
@@ -1133,7 +1145,8 @@ def ssim_parts_pallas(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("data_range", "interpret", "max_tile_h", "max_tile_w"),
+    static_argnames=("data_range", "interpret", "max_tile_h", "max_tile_w",
+                     "relaxed"),
 )
 def ssim_components_pallas(
     a: jnp.ndarray,
@@ -1143,6 +1156,7 @@ def ssim_components_pallas(
     interpret: bool = False,
     max_tile_h: Optional[int] = None,
     max_tile_w: int = TILE_W,
+    relaxed: bool = False,
 ) -> jnp.ndarray:
     """Fused-kernel MS-SSIM components: per-tile sums of the cs factor and
     of full SSIM (= l*cs). a, b: (H, W) or (B, H, W), uint8 OR float32 in
@@ -1155,6 +1169,7 @@ def ssim_components_pallas(
     components-mode kernel behind the fast MS-SSIM path on TPU (~1.7x
     the XLA formulation per scale; on the round-1/2 stack the XLA route
     additionally cost ~160 s/shape to compile, since fixed upstream).
+    relaxed: the loose bf16-split blur tier (see ssim_parts_pallas).
     """
     if a.dtype == jnp.uint8 and b.dtype == jnp.uint8:
         pass
@@ -1186,13 +1201,13 @@ def ssim_components_pallas(
         )
         partials, _ = _nopad_overlap_call(
             a, b, h, w, taps, c1, c2, False, interpret, tile_h,
-            components=True, clip_bound=clip_bound,
+            components=True, clip_bound=clip_bound, relaxed=relaxed,
         )
     else:
         partials, _ = _chunked_overlap_call(
             a, b, h, w, taps, c1, c2, False, interpret,
             TILE_H if max_tile_h is None else max_tile_h,
-            components=True, clip_bound=clip_bound,
+            components=True, clip_bound=clip_bound, relaxed=relaxed,
         )
     partials = partials.reshape(batch, -1, 2)
     if squeeze:
@@ -1238,7 +1253,8 @@ def pack_count(w: int, batch: int, itemsize: int = 1) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("data_range", "interpret", "max_tile_h", "allow_float"),
+    static_argnames=("data_range", "interpret", "max_tile_h", "allow_float",
+                     "relaxed"),
 )
 def ssim_parts_pallas_packed(
     a: jnp.ndarray,
@@ -1248,6 +1264,7 @@ def ssim_parts_pallas_packed(
     interpret: bool = False,
     max_tile_h: Optional[int] = None,
     allow_float: bool = False,
+    relaxed: bool = False,
 ) -> jnp.ndarray:
     """Lane-packed batch SSIM for SMALL uint8 images: per-image partials
     of shape (B, 2) — [:, 0] the (ssim - 1) sum, [:, 1] the exact pixel
@@ -1320,9 +1337,14 @@ def ssim_parts_pallas_packed(
     tile_h = max_tile_h if max_tile_h is not None else _pick_tile_h(
         h, p * pitch, float_input=float_ok
     )
+    # relaxed applies to the PACKED row width (>= MXU_MIN_W for every
+    # packable w), not the per-image width; the padding-slot identity
+    # survives any blur tier (SSIM(x, x) == 1 bitwise: numerator and
+    # denominator are the same computation when a == b).
     colsums, _ = _nopad_overlap_call(
         pack(a), pack(b), h, p * pitch, taps, c1, c2,
         False, interpret, tile_h, colsum=True, clip_bound=clip_bound,
+        relaxed=relaxed,
     )
     per_slot = (
         colsums.reshape(bp, p, pitch)[:, :, r : r + w].sum(axis=-1).reshape(-1)

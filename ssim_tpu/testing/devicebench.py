@@ -26,12 +26,14 @@ from typing import Optional
 import numpy as np
 
 
-def make_runner(impl: str, with_map: bool, precise: bool = False):
+def make_runner(impl: str, with_map: bool, precise: bool = False,
+                relaxed: bool = False):
     """A jitted (a, b, iters) -> scalar on-device benchmark loop.
 
     impl: a dispatch implementation name, or the two pseudo-impls
     "grad" (the fused backward kernel, f32 inputs) and "msssim"
-    (the 5-scale pyramid)."""
+    (the 5-scale pyramid). relaxed: the loose bf16-split accuracy tier
+    (pallas/auto impls only)."""
     import jax
     import jax.numpy as jnp
 
@@ -58,14 +60,16 @@ def make_runner(impl: str, with_map: bool, precise: bool = False):
 
         def parts(a, b):
             return ssim_parts_auto(
-                a, b, with_map=with_map, interpret=interpret, precise=precise
+                a, b, with_map=with_map, interpret=interpret, precise=precise,
+                relaxed=relaxed,
             )
     elif impl == "pallas":
         from ..ops.ssim_pallas import ssim_parts_pallas
 
         def parts(a, b):
             return ssim_parts_pallas(
-                a, b, with_map=with_map, interpret=interpret, precise=precise
+                a, b, with_map=with_map, interpret=interpret, precise=precise,
+                relaxed=relaxed,
             )
     else:
         from ..ops.ssim_xla import ssim_parts_xla
@@ -101,6 +105,7 @@ def device_throughput(
     iters: int = 256,
     reps: int = 3,
     precise: bool = False,
+    relaxed: bool = False,
     seed: int = 7,
 ) -> float:
     """Median-of-reps steady-state throughput in Mpix/s."""
@@ -116,7 +121,7 @@ def device_throughput(
         b = b.astype(np.float32)
     a_dev = jax.device_put(a)
     b_dev = jax.device_put(b)
-    run = make_runner(impl, with_map, precise=precise)
+    run = make_runner(impl, with_map, precise=precise, relaxed=relaxed)
 
     short, long_ = max(1, iters // 8), iters
     for it in (short, long_):  # warmup/compile both loop lengths

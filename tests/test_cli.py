@@ -153,12 +153,30 @@ def test_pnm_image_loading(tmp_path, rng):
 
 
 def test_cli_relaxed_flag(image_pair, capsys):
-    """--relaxed computes within the loose tier of the standard score;
-    --relaxed --ms is rejected."""
+    """--relaxed computes within the loose tier of the standard score,
+    for both single-scale and --ms (where it loosens the wide pyramid
+    scales)."""
     a, b, pa, pb = image_pair
     assert cli.main(["-y", "--relaxed", pa, pb]) == 0
     got = float(capsys.readouterr().out.strip())
     want = compute_ssim(luminance_bt601(a), luminance_bt601(b))
     assert got == pytest.approx(want, abs=1e-3)
-    assert cli.main(["--relaxed", "--ms", pa, pb]) == 1
-    assert "--relaxed" in capsys.readouterr().err
+
+
+def test_cli_relaxed_ms(tmp_path, rng, capsys):
+    """--relaxed combines with --ms (loosening the wide pyramid scales);
+    the image must be large enough for 5 scales."""
+    from PIL import Image
+
+    from ssim_tpu.models import compute_ms_ssim
+
+    a = rng.integers(0, 256, (192, 256), dtype=np.uint8)
+    b = np.clip(a.astype(np.int32) + rng.integers(-10, 10, a.shape),
+                0, 255).astype(np.uint8)
+    pa, pb = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    Image.fromarray(a).save(pa)
+    Image.fromarray(b).save(pb)
+    assert cli.main(["--relaxed", "--ms", pa, pb]) == 0
+    got_ms = float(capsys.readouterr().out.strip())
+    want_ms = compute_ms_ssim(a, b)
+    assert got_ms == pytest.approx(want_ms, abs=1e-3)

@@ -188,3 +188,32 @@ def test_pallas_mixed_dtypes_fall_back(rng):
     got = float(ms_ssim(a8, bf, impl="pallas"))
     want = float(ms_ssim(a8, bf, impl="xla"))
     assert got == pytest.approx(want, abs=1e-7)
+
+
+def test_msssim_relaxed_tier(rng):
+    """accuracy="relaxed" loosens the wide pyramid scales (w >= MXU_MIN_W)
+    but stays inside the loose envelope; bad values raise; gradients
+    still flow (backward stays standard-accuracy)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssim_tpu.errors import InvalidArgumentError
+    from ssim_tpu.models.msssim import ms_ssim
+
+    a = rng.integers(0, 256, (192, 704), dtype=np.uint8)
+    b = np.clip(a.astype(np.int32) + rng.integers(-12, 12, a.shape),
+                0, 255).astype(np.uint8)
+    want = float(ms_ssim(a, b, impl="pallas"))
+    got = float(ms_ssim(a, b, impl="pallas", accuracy="relaxed"))
+    assert got == pytest.approx(want, abs=1e-4)
+
+    with pytest.raises(InvalidArgumentError):
+        ms_ssim(a, b, accuracy="fast")
+
+    af = jnp.asarray(a, jnp.float32) / 255.0
+    bf = jnp.asarray(b, jnp.float32) / 255.0
+    g = jax.grad(
+        lambda x: ms_ssim(x, bf, data_range=1.0, impl="pallas",
+                          accuracy="relaxed")
+    )(af)
+    assert bool(jnp.isfinite(g).all())

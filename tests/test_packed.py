@@ -194,3 +194,19 @@ def test_packed_rejects_oversize_pixel_count():
         jax.eval_shape(
             lambda x: ssim_parts_pallas_packed(x, x, interpret=True), a
         )
+
+
+def test_packed_relaxed_loose_tier(rng):
+    """relaxed=True applies the loose mxu3x tier to the PACKED row width
+    (wide even for small images): results stay inside the loose envelope
+    per image, and the padding-slot identity (SSIM(x,x)==1 bitwise, any
+    blur tier) keeps remainder slots from leaking into real scores."""
+    pairs = [random_pair(rng, 40, 60) for _ in range(5)]  # odd batch: pad slot
+    a = np.stack([p[0] for p in pairs])
+    b = np.stack([p[1] for p in pairs])
+    parts = np.asarray(ssim_parts_pallas_packed(a, b, interpret=True,
+                                                relaxed=True))
+    got = engine.finalize_mean(parts, 40 * 60)
+    for i in range(5):
+        want, _ = reference.compute_ssim(a[i], b[i])
+        assert abs(float(got[i]) - want) < 1e-4, (i, float(got[i]), want)

@@ -238,7 +238,9 @@ def test_pick_tile_h_rules():
     from ssim_tpu.ops.ssim_pallas import _pick_tile_h
 
     assert _pick_tile_h(2160, 3840) == 32   # 4K: budget caps at 32
-    assert _pick_tile_h(1080, 1920) == 32   # 1080p: area target prefers 32
+    assert _pick_tile_h(1080, 1920) == 64   # 1080p: MXU mode prefers 64
+    assert _pick_tile_h(1080, 1920, float_input=True) == 32  # f32 budget
+    assert _pick_tile_h(512, 512) == 64   # MXU mode: 64, never 128
     assert _pick_tile_h(360, 640) == 64     # small batched images go taller
     assert _pick_tile_h(256, 256) == 128
     assert _pick_tile_h(128, 128) == 128    # one tile per image
