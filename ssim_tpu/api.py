@@ -151,13 +151,15 @@ def _pallas_forward_with_xla_vjp(pallas_fn, xla_fn):
     return f
 
 
-def _pallas_with_pallas_vjp(pallas_fn, data_range, interpret, n, with_map):
+def _pallas_with_pallas_vjp(pallas_fn, data_range, interpret, n, with_map,
+                            relaxed=False):
     """Fully TPU-native differentiable wrapper: fused-kernel forward AND
     fused-kernel analytic backward (ops/ssim_grad.py) — no XLA-formulation
     compile anywhere in the training path. The score is sum(SSIM)/n, so
     its cotangent becomes the per-image weight w_s = g/n; with_map
     outputs additionally route the per-pixel map cotangent into the
-    backward kernel's g_map input."""
+    backward kernel's g_map input. relaxed applies the loose bf16-split
+    tier to the backward kernel too (accuracy="relaxed" is end-to-end)."""
 
     @jax.custom_vjp
     def f(xa, xb):
@@ -177,7 +179,7 @@ def _pallas_with_pallas_vjp(pallas_fn, data_range, interpret, n, with_map):
             g_score, g_map = g, None
         return ssim_grad_pallas(
             xa, xb, jnp.asarray(g_score, jnp.float32) / n, 0.0, g_map,
-            data_range=data_range, interpret=interpret,
+            data_range=data_range, interpret=interpret, relaxed=relaxed,
         )
 
     f.defvjp(f_fwd, f_bwd)
@@ -188,11 +190,11 @@ def _run_metric(a, b, impl, data_range, with_map, relaxed=False):
     """Shared body of ssim/ssim_and_map: dtype routing (ops.routing), a
     differentiable XLA-backed VJP for float inputs on the Pallas impl.
 
-    relaxed routes the FORWARD through the fused kernel's fast bf16-split
-    tier (ssim_parts_auto(relaxed=True)); the analytic backward kernel
-    stays at standard accuracy (its cost is VPU/algebra-bound, and the
-    gradient of the standard forward is within the relaxed tier's own
-    error of the relaxed forward's gradient)."""
+    relaxed routes the forward through the fused kernel's fast bf16-split
+    tier (ssim_parts_auto(relaxed=True)) AND the analytic backward kernel
+    through its matching loose MXU tier (ssim_grad_pallas(relaxed=True),
+    measured +8-9% on v5e) — accuracy="relaxed" is end-to-end on wide
+    images; both are strict no-ops below MXU_MIN_W."""
     from .dispatch import backend_platform
     from .ops.routing import pallas_routable, ssim_parts_auto
     from .ops.ssim_xla import ssim_parts_xla
@@ -239,7 +241,8 @@ def _run_metric(a, b, impl, data_range, with_map, relaxed=False):
         # analytic backward (the map cotangent rides as the kernel's
         # per-pixel g_map input). f64/u16 inputs and very wide images
         # keep the XLA-formulation VJP.
-        f = _pallas_with_pallas_vjp(pallas_fn, data_range, interpret, n, with_map)
+        f = _pallas_with_pallas_vjp(pallas_fn, data_range, interpret, n,
+                                    with_map, relaxed=relaxed)
     else:
         f = _pallas_forward_with_xla_vjp(pallas_fn, xla_fn)
     return f(a, b)
@@ -258,7 +261,8 @@ def ssim(
     other cases carry an XLA-formulation custom VJP.
 
     accuracy="relaxed" opts wide images into the fused kernel's fast
-    bf16-split tier (see compute_ssim); forward only.
+    bf16-split tier, forward and backward (see compute_ssim and
+    _run_metric).
     """
     return _run_metric(a, b, impl, data_range, with_map=False,
                        relaxed=_relaxed(accuracy))

@@ -76,7 +76,8 @@ def _cs_ssim_sums_diff(data_range, interpret, relaxed=False):
     VJP — no XLA-formulation compile anywhere in the MS-SSIM training
     path. Cotangent layout follows the components kernel: g[..., 0] is
     the sum_cs cotangent (w_cs), g[..., 1] the sum_ssim one (w_s).
-    relaxed applies to the forward only (same contract as api.ssim)."""
+    relaxed applies end-to-end (forward AND the backward kernel's loose
+    MXU tier — same contract as api.ssim; no-op below MXU_MIN_W)."""
     from ..ops.ssim_pallas import ssim_components_pallas
 
     @jax.custom_vjp
@@ -96,7 +97,7 @@ def _cs_ssim_sums_diff(data_range, interpret, relaxed=False):
         xa, xb = res
         return ssim_grad_pallas(
             xa, xb, g[..., 1], g[..., 0],
-            data_range=data_range, interpret=interpret,
+            data_range=data_range, interpret=interpret, relaxed=relaxed,
         )
 
     f.defvjp(f_fwd, f_bwd)
@@ -197,8 +198,9 @@ def ms_ssim(
 
     accuracy="relaxed" opts the wide pyramid scales (w >= MXU_MIN_W —
     in the canonical 5-scale pyramid usually scales 0-1) into the fused
-    kernel's loose bf16-split blur tier (see api.ssim); forward only,
-    Pallas impl only (the XLA path computes at standard accuracy).
+    kernel's loose bf16-split blur tier, forward AND backward (see
+    api.ssim); Pallas impl only (the XLA path computes at standard
+    accuracy).
     """
     from ..api import _relaxed
     from ..dispatch import Implementation, backend_platform, select_impl

@@ -162,7 +162,7 @@ def _make_hpassT_roll(t, r, out_w):
 
 
 def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
-               tile_h=32):
+               tile_h=32, relaxed=False):
     r = RADIUS
     batch = a.shape[0]
     nh = -(-h // tile_h)
@@ -183,7 +183,7 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
     bw = (-(-w // 128) * 128 + 2 * r) if use_mxu else w
     if use_mxu:
         hp = _make_hpass(t, r, w, co=r)
-        hp_mxu = _make_hpass_mxu(w, exact=True)
+        hp_mxu = _make_hpass_mxu(w, exact=not relaxed)
         cl = [float(sum(t[r + x + 1 :])) for x in range(r)]
     else:
         hp = _make_hpass_roll(t, r, w)
@@ -276,12 +276,33 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
         else:
             coeff_s = w_s
 
-        def vpass(m, x):
+        def _dot(m, x, precision):
             return jax.lax.dot_general(
                 m, x, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=precision,
             )
+
+        if relaxed and use_mxu:
+            # Loose tier ("mxu3x" analogue for the vertical passes): a
+            # manual 3-pass bf16 split of both operands with DEFAULT
+            # dots — bf16 products are exact in f32, so the error is
+            # the dropped lo*lo residual, ~2^-17 relative per blur
+            # (same bound as the forward's relaxed hpasses). Gated on
+            # use_mxu so relaxed stays a strict no-op below MXU_MIN_W,
+            # matching the forward tier's contract.
+            def vpass(m, x):
+                m1b = m.astype(jnp.bfloat16)
+                m2b = (m - m1b.astype(jnp.float32)).astype(jnp.bfloat16)
+                x1b = x.astype(jnp.bfloat16)
+                x2b = (x - x1b.astype(jnp.float32)).astype(jnp.bfloat16)
+                d = functools.partial(
+                    _dot, precision=jax.lax.Precision.DEFAULT
+                )
+                return d(m1b, x1b) + (d(m1b, x2b) + d(m2b, x1b))
+        else:
+            def vpass(m, x):
+                return _dot(m, x, jax.lax.Precision.HIGHEST)
 
         # Stage 1: forward blurs at the mid rows (recomputed in VMEM).
         u = hp(vpass(m1, af))
@@ -394,7 +415,7 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("data_range", "interpret", "tile_h")
+    jax.jit, static_argnames=("data_range", "interpret", "tile_h", "relaxed")
 )
 def ssim_grad_pallas(
     a: jnp.ndarray,
@@ -406,6 +427,7 @@ def ssim_grad_pallas(
     data_range: float = 255.0,
     interpret: bool = False,
     tile_h: Optional[int] = None,
+    relaxed: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused-kernel SSIM gradients: (dL/da, dL/db) for
     L = sum_p (w_s + g_map(p)) * SSIM(p) + w_cs * sum_p cs(p), per image.
@@ -416,7 +438,11 @@ def ssim_grad_pallas(
     a (the `ssim_and_map` backward). Widths must satisfy
     grad_pallas_supported; callers fall back to the XLA VJP otherwise.
     tile_h: grid row-block height; None picks the measured-best default
-    (64 up to 4K widths, 32 beyond — see the inline sweep note).
+    (64 at every standard width — see the inline sweep note).
+    relaxed: the loose bf16-split tier for the MXU passes (wide images
+    only, like the forward's accuracy="relaxed"): 3-pass DEFAULT dots
+    instead of 6-pass HIGHEST for the four heavy horizontal passes AND
+    all eight vertical band matmuls; per-blur error ~2^-17 relative.
     """
     if a.dtype != jnp.float32 or b.dtype != jnp.float32:
         raise ValueError(
@@ -452,17 +478,21 @@ def ssim_grad_pallas(
     if g_map is not None:
         g_map = g_map.astype(jnp.float32)
     if tile_h is None:
-        # Measured on v5e (2026-08-17 sweep): tile_h=64 wins at 1080p
-        # (5689 vs 5139 Mpix/s) and 4K (5842 vs 5336) — the halo
-        # recompute overhead is (tile_h+32)/tile_h — but at 8K width the
-        # larger live bands strain VMEM and 32 is faster (1866 vs 1745).
-        tile_h = 64 if w <= 3840 else 32
+        # Measured on v5e (2026-08-17 devicebench sweeps): tile_h=64
+        # wins at every standard width — 1080p 5,737 vs 5,160 (t=32),
+        # 4K 5,834 vs 5,325, 8K 5,230 vs 4,647 — the halo recompute
+        # overhead is (tile_h+32)/tile_h = 1.5 at 32 vs 1.25 at 64,
+        # and even 8K's larger live bands fit the raised VMEM window.
+        # (An outage-era sweep briefly recorded 8K preferring 32; a
+        # healthy-tunnel re-measure overturned it.) 96/128 measured
+        # worse everywhere (5,408/3,521 at 1080p).
+        tile_h = 64
     if tile_h < 16 or tile_h % 8 != 0:
         # The 16-row halos come from single neighbor blocks (tile_h >=
         # 16) and sublane alignment wants multiples of 8.
         raise ValueError(f"tile_h must be a multiple of 8 >= 16, got {tile_h}")
     da, db = _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound,
-                        gmap=g_map, tile_h=tile_h)
+                        gmap=g_map, tile_h=tile_h, relaxed=relaxed)
     if squeeze:
         da, db = da[0], db[0]
     return da, db

@@ -271,6 +271,55 @@ def test_grad_tile_h_variants_agree(rng):
         ssim_grad_pallas(a, b, 1.0, 0.0, interpret=True, tile_h=12)
 
 
+def test_grad_relaxed_tier(rng):
+    """relaxed=True (3-pass bf16-split MXU blurs in the backward) stays
+    within the loose-tier envelope of the standard-accuracy gradients on
+    wide images, and is a no-op below MXU_MIN_W (all-VPU roll mode).
+
+    The wide-image comparison runs compiled on TPU / interpret on CPU
+    (the production routing): TPU-INTERPRET mode evaluates the split's
+    DEFAULT-precision bf16 dots much more loosely than compiled Mosaic
+    (~1e-2 vs ~2e-5 relative, measured) and is not a shipped path."""
+    from ssim_tpu.dispatch import backend_platform
+    from ssim_tpu.ops.ssim_pallas import MXU_MIN_W
+
+    interpret = backend_platform() != "tpu"
+    a, b = _float_pair(rng, 64, 640)
+    assert a.shape[-1] >= MXU_MIN_W
+    da0, db0 = ssim_grad_pallas(a, b, 1.0, 0.3, data_range=1.0,
+                                interpret=interpret)
+    da1, db1 = ssim_grad_pallas(a, b, 1.0, 0.3, data_range=1.0,
+                                interpret=interpret, relaxed=True)
+    scale = float(np.abs(np.asarray(da0)).max())
+    for g0, g1 in ((da0, da1), (db0, db1)):
+        err = float(np.abs(np.asarray(g1) - np.asarray(g0)).max())
+        assert err <= 1e-3 * scale, (err, scale)
+
+    an, bn = _float_pair(rng, 40, 200)  # below MXU_MIN_W: same kernel
+    assert an.shape[-1] < MXU_MIN_W
+    g0, _ = ssim_grad_pallas(an, bn, 1.0, 0.0, data_range=1.0,
+                             interpret=True)
+    g1, _ = ssim_grad_pallas(an, bn, 1.0, 0.0, data_range=1.0,
+                             interpret=True, relaxed=True)
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+
+    # accuracy="relaxed" is end-to-end: jax.grad(ssim_loss) routes the
+    # loose tier into the backward kernel through the custom VJP.
+    import jax
+    import jax.numpy as jnp
+
+    from ssim_tpu.api import ssim_loss
+
+    ga0 = jax.grad(lambda x: jnp.sum(
+        ssim_loss(x, b, data_range=1.0, impl="pallas")))(jnp.asarray(a))
+    ga1 = jax.grad(lambda x: jnp.sum(
+        ssim_loss(x, b, data_range=1.0, impl="pallas",
+                  accuracy="relaxed")))(jnp.asarray(a))
+    d = float(jnp.abs(ga1 - ga0).max())
+    s = float(jnp.abs(ga0).max())
+    assert 0.0 < d <= 1e-3 * s, (d, s)  # differs (tier active), loosely
+
+
 @pytest.mark.parametrize("data_range", [255.0, 1e4])
 def test_grad_data_range_scaling(rng, data_range):
     """The backward kernel must track the XLA VJP at u8-scale and HDR

@@ -193,7 +193,7 @@ def test_pallas_mixed_dtypes_fall_back(rng):
 def test_msssim_relaxed_tier(rng):
     """accuracy="relaxed" loosens the wide pyramid scales (w >= MXU_MIN_W)
     but stays inside the loose envelope; bad values raise; gradients
-    still flow (backward stays standard-accuracy)."""
+    still flow (the backward uses its matching loose tier)."""
     import jax
     import jax.numpy as jnp
 
