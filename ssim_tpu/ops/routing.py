@@ -9,7 +9,8 @@ cannot drift (a review found three hand-maintained copies diverging):
 - float32/float64 pairs and uint16 pairs: cast to f32 (exact for u16 and
   any value below 2^24) and ride the fused kernel's sanitized float path
   — any width (the pad kernel is dtype-generic). The fused kernel is
-  ~1.7x the XLA path's throughput (10.2 vs 6.1 Gpix/s on v5e, re-measured
+  ~2x the XLA path's throughput (13.7 vs 6.6 Gpix/s at 1080p b1 on
+  v5e, and far more at larger batches, re-measured
   round 3; on the round-1/2 stack the XLA path additionally cost
   ~160 s/shape to compile on TPU, which no longer reproduces —
   docs/RESULTS.md "XLA path re-measured").

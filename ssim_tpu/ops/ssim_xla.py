@@ -12,8 +12,10 @@ Design notes (TPU-first, not a translation):
   the 11-tap chain. Symmetric taps are paired (add-then-scale) like the
   reference's L/R symmetry factorization (src/ssim.cpp:366-449): 6 muls +
   10 adds per pass.
-- All five windowed signals (a, b, a*a, b*b, a*b) are blurred as one
-  stacked (5, ..., H, W) array so the compiler sees a single big fusion.
+- Each of the five windowed signals (a, b, a*a, b*b, a*b) is blurred
+  separately: each multiply+row-pass fuses into its own right-sized
+  pipeline (a single stacked 5-signal blur measured 31-44% slower — the
+  stack's materialized intermediate between the passes is 5x larger).
 - Per-pixel math is f32 (parity with the reference's default Float,
   src/ssim_internal.h:26-37). The global accumulation is hierarchical:
   f32 row sums here (pairwise-safe), f64 finalize on the host in the
@@ -84,10 +86,18 @@ def ssim_from_padded(
     c1 = dtype((0.01 * data_range) ** 2)
     c2 = dtype((0.03 * data_range) ** 2)
 
-    # One stacked blur for all five windowed signals.
-    sig = jnp.stack([ap, bp, ap * ap, bp * bp, ap * bp], axis=0)
-    blurred = blur_separable(sig, taps, radius)
-    mu_a, mu_b, s_a2, s_b2, s_ab = (blurred[i] for i in range(5))
+    # Five separate blurs, one per windowed signal. This used to be one
+    # stacked (5, ..., H, W) blur "so the compiler sees a single big
+    # fusion" — measured on v5e the OPPOSITE wins: the stack forces a
+    # 5x-sized materialized intermediate between the row and column
+    # passes, and per-signal blurs (each its own smaller fusion) run
+    # 1072 -> 1549 Mpix/s at 1080p b8 (+44%) and +12% at b1, bitwise
+    # identical (same adds in the same order per signal).
+    mu_a = blur_separable(ap, taps, radius)
+    mu_b = blur_separable(bp, taps, radius)
+    s_a2 = blur_separable(ap * ap, taps, radius)
+    s_b2 = blur_separable(bp * bp, taps, radius)
+    s_ab = blur_separable(ap * bp, taps, radius)
 
     mu_a2 = mu_a * mu_a
     mu_b2 = mu_b * mu_b

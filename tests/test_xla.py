@@ -70,7 +70,12 @@ def test_batched_matches_single(rng):
     assert scores.shape == (3,)
     for i in range(3):
         single = compute_ssim(a[i], b[i], impl="xla")
-        assert scores[i] == pytest.approx(single, abs=1e-9)
+        # Not bitwise: batched and single are separate XLA compiles, and
+        # per-shape codegen may contract mul+add into FMAs differently
+        # (measured ~1e-8 on TPU with the per-signal blurs). Orders of
+        # magnitude inside the 2e-6 oracle tier; the fused Pallas kernel
+        # (not this path) is the one that keeps batch invariance tight.
+        assert scores[i] == pytest.approx(single, abs=5e-8)
 
 
 def test_jittable_ssim_close_to_eager(rng):
