@@ -32,7 +32,7 @@ for k in range(N):
     w = int(r.integers(1, MAXW))
     with_map = bool(r.integers(0, 2))
     batch = int(r.integers(1, 3))
-    mode = int(r.integers(0, 7))
+    mode = int(r.integers(0, 8))
     a = r.integers(0, 256, (batch, h, w), dtype=np.uint8)
     b = np.clip(a.astype(np.int32) + r.normal(0, 14, a.shape).astype(np.int32), 0, 255).astype(np.uint8)
     kw = dict(with_map=with_map)
@@ -52,6 +52,11 @@ for k in range(N):
         kw["downsample"] = ds
     elif mode == 5:
         kw["impl"] = "xla"
+    elif mode == 7:
+        # relaxed tier (no-op below MXU_MIN_W=512; CPU interpret mode
+        # evaluates the bf16-split dots more loosely than Mosaic, so
+        # the loose-envelope tolerance below is the honest bound).
+        kw["accuracy"] = "relaxed"
     else:
         # mode 6: fused backward kernel vs the XLA autodiff VJP.
         import jax as _jax
@@ -98,6 +103,8 @@ for k in range(N):
         ea = engine.box_decimate(a, kw["downsample"]); eb = engine.box_decimate(b, kw["downsample"])
     tol_g = 5e-9 if kw.get("precision") == "f64" else 2e-6
     tol_m = 1e-6 if kw.get("precision") == "f64" else 2e-3
+    if kw.get("accuracy") == "relaxed":
+        tol_g, tol_m = 2e-5, 5e-3  # loose tier + CPU-interpret slack
     for i in range(batch):
         want, wmap = reference.compute_ssim(ea[i], eb[i], with_map=with_map, data_range=dr)
         npx = ea.shape[-2] * ea.shape[-1]
