@@ -72,6 +72,68 @@ def batched_pairs(
             yield names, a, b
 
 
+def stream_batched_pairs(
+    pairs: Sequence[Tuple[str, str]],
+    *,
+    batch_size: int = 8,
+    channel_policy: str = "luminance",
+    num_threads: int = 8,
+    prefetch: int = 2,
+) -> Iterator[Tuple[List[str], np.ndarray, np.ndarray]]:
+    """Streaming `batched_pairs`: constant memory, decode-ahead.
+
+    `batched_pairs` decodes the WHOLE list before yielding anything —
+    fine for suites, wrong for production streams (a 100k-pair job
+    would hold every decoded frame in RAM). This variant keeps at most
+    `prefetch * batch_size` decodes in flight ahead of the consumer, so
+    host-side decode (the bottleneck at multi-Gpix/s device throughput)
+    overlaps the device compute of the previous batch. Pairs are still
+    grouped by resolution on the fly (XLA shapes are static); a group's
+    batch is yielded as soon as it fills, and partial groups flush at
+    the end in first-seen order.
+    """
+    from collections import OrderedDict, deque
+
+    def one(pair):
+        pa, pb = pair
+        a = _to_gray(load_image(pa), channel_policy)
+        b = _to_gray(load_image(pb), channel_policy)
+        if a.shape != b.shape:
+            raise ValueError(f"size mismatch: {pa} {a.shape} vs {pb} {b.shape}")
+        return os.path.basename(pa), a, b
+
+    depth = max(1, prefetch) * batch_size
+    by_shape: "OrderedDict[tuple, list]" = OrderedDict()
+
+    def drain(items):
+        names = [c[0] for c in items]
+        return names, np.stack([c[1] for c in items]), np.stack([c[2] for c in items])
+
+    with ThreadPoolExecutor(max_workers=num_threads) as ex:
+        inflight = deque()
+        it = iter(pairs)
+        try:
+            while True:
+                while len(inflight) < depth:
+                    try:
+                        inflight.append(ex.submit(one, next(it)))
+                    except StopIteration:
+                        break
+                if not inflight:
+                    break
+                name, a, b = inflight.popleft().result()
+                group = by_shape.setdefault(a.shape, [])
+                group.append((name, a, b))
+                if len(group) >= batch_size:
+                    yield drain(group)
+                    del by_shape[a.shape]
+        finally:
+            for f in inflight:  # surface decode errors, don't leak threads
+                f.cancel()
+    for items in by_shape.values():
+        yield drain(items)
+
+
 def evaluate_directory(
     dir_a: str,
     dir_b: str,
@@ -93,7 +155,7 @@ def evaluate_directory(
     )
     pairs = [(os.path.join(dir_a, f), os.path.join(dir_b, f)) for f in names]
     results = []
-    for batch_names, a, b in batched_pairs(
+    for batch_names, a, b in stream_batched_pairs(
         pairs, batch_size=batch_size, channel_policy=channel_policy
     ):
         scores, _ = engine.compute(a, b, impl=impl)

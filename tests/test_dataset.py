@@ -8,7 +8,12 @@ from PIL import Image
 
 from ssim_tpu import compute_ssim
 from ssim_tpu.utils import luminance_bt601
-from ssim_tpu.utils.dataset import batched_pairs, evaluate_directory, load_pairs
+from ssim_tpu.utils.dataset import (
+    batched_pairs,
+    evaluate_directory,
+    load_pairs,
+    stream_batched_pairs,
+)
 
 
 @pytest.fixture()
@@ -50,6 +55,32 @@ def test_batched_groups_by_shape(pair_dirs):
     assert sizes == [1, 1, 2]
     for _, a, b in batches:
         assert a.shape == b.shape and a.ndim == 3
+
+
+def test_stream_matches_eager(pair_dirs):
+    """stream_batched_pairs yields the same batches as batched_pairs
+    (full batches in arrival order, partial groups flushed at the end),
+    from a generator input and with bounded prefetch."""
+    da, db, truths = pair_dirs
+    pairs = [(os.path.join(da, n), os.path.join(db, n)) for n in sorted(truths)]
+    eager = {
+        tuple(names): (a.copy(), b.copy())
+        for names, a, b in batched_pairs(pairs, batch_size=2)
+    }
+    streamed = list(
+        stream_batched_pairs(iter(pairs), batch_size=2, prefetch=1)
+    )
+    assert {tuple(n) for n, _, _ in streamed} == set(eager)
+    for names, a, b in streamed:
+        ea, eb = eager[tuple(names)]
+        np.testing.assert_array_equal(a, ea)
+        np.testing.assert_array_equal(b, eb)
+
+    # a decode failure surfaces as an exception, not a hang
+    bad = pairs + [(os.path.join(da, "missing.png"),
+                    os.path.join(db, "missing.png"))]
+    with pytest.raises(Exception):
+        list(stream_batched_pairs(bad, batch_size=2))
 
 
 def test_evaluate_directory(pair_dirs):
