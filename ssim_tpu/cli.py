@@ -5,6 +5,8 @@ Usage: python -m ssim_tpu.cli [options] img1 img2 [map]
   -y            compute SSIM on BT.601 luminance        (src/ssim-cli.cpp:246-247)
   --ms          compute multi-scale SSIM (extension; single channel/luminance)
   --impl=NAME   implementation override (extension; default auto)
+  --dir         batch-evaluate two DIRECTORIES of same-named images
+                (extension; streaming decode-ahead loader, utils/dataset.py)
 
 Output format matches the reference (src/ssim-cli.cpp:143,197,205-210):
 single-channel prints "% 7.4f", per-channel mode prints one line per
@@ -31,7 +33,11 @@ def print_help(file=sys.stdout):
         "      factor, or explicit K); the map is then pooled-size\n"
         "  --relaxed  Fast loose-accuracy tier on wide images (bf16-split\n"
         "      MXU blurs, ~16-18 vs ~13-14 Gpix/s; error <= ~4e-6);\n"
-        "      applies to --ms too (its wide pyramid scales)\n\n"
+        "      applies to --ms too (its wide pyramid scales)\n"
+        "  --dir  Treat the two paths as DIRECTORIES: batch-evaluate every\n"
+        "      same-named image (streaming decode-ahead loader, one\n"
+        "      'name: score' line each; -y/-# pick the channel policy)\n"
+        "  --batch=N  Batch size for --dir (default 8)\n\n"
     )
 
 
@@ -48,6 +54,8 @@ def main(argv=None) -> int:
     impl = "auto"
     downsample = None
     accuracy = None
+    dir_mode = False
+    batch_size = 8
 
     while argv and argv[0].startswith("-"):
         opt = argv.pop(0)
@@ -57,6 +65,16 @@ def main(argv=None) -> int:
             luminance = True
         elif opt == "--ms":
             multiscale = True
+        elif opt == "--dir":
+            dir_mode = True
+        elif opt.startswith("--batch="):
+            try:
+                batch_size = int(opt.split("=", 1)[1])
+                if batch_size < 1:
+                    raise ValueError
+            except ValueError:
+                sys.stderr.write(f"Bad --batch value: {opt.split('=', 1)[1]}\n")
+                return 1
         elif opt.startswith("--impl="):
             impl = opt.split("=", 1)[1]
         elif opt == "--downsample" or opt.startswith("--downsample="):
@@ -77,6 +95,35 @@ def main(argv=None) -> int:
     if len(argv) < 2 or len(argv) > 3:
         print_help(sys.stderr)
         return 1
+
+    if dir_mode:
+        if len(argv) != 2:
+            sys.stderr.write("--dir takes exactly two directories\n")
+            return 1
+        if multiscale or downsample is not None or accuracy is not None:
+            sys.stderr.write(
+                "--dir supports only -y/-#/--impl/--batch options\n"
+            )
+            return 1
+        from .config import enable_compile_cache
+        from .utils.dataset import evaluate_directory
+
+        enable_compile_cache()
+        policy = f"channel:{only_channel}" if only_channel >= 0 else "luminance"
+        try:
+            results = evaluate_directory(
+                argv[0], argv[1], batch_size=batch_size,
+                channel_policy=policy, impl=impl,
+            )
+        except Exception as e:
+            sys.stderr.write(f"{e}\n")
+            return 1
+        if not results:
+            sys.stderr.write("no same-named images in the two directories\n")
+            return 1
+        for name, score in results:
+            sys.stdout.write(f"{name}: {score: 7.4f}\n")
+        return 0
 
     img1_path, img2_path = argv[0], argv[1]
     map_path = argv[2] if len(argv) == 3 else None

@@ -180,3 +180,37 @@ def test_cli_relaxed_ms(tmp_path, rng, capsys):
     got_ms = float(capsys.readouterr().out.strip())
     want_ms = compute_ms_ssim(a, b)
     assert got_ms == pytest.approx(want_ms, abs=1e-3)
+
+
+def test_cli_dir_mode(tmp_path, rng, capsys):
+    """--dir batch-evaluates two directories of same-named images via the
+    streaming loader, printing one 'name: score' line per pair; option
+    conflicts and empty intersections are rejected."""
+    from PIL import Image
+
+    da, db = tmp_path / "a", tmp_path / "b"
+    da.mkdir(), db.mkdir()
+    truths = {}
+    for i in range(3):
+        img_a = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+        img_b = np.clip(img_a.astype(np.int32)
+                        + rng.integers(-12, 12, img_a.shape),
+                        0, 255).astype(np.uint8)
+        name = f"img{i}.png"
+        Image.fromarray(img_a).save(da / name)
+        Image.fromarray(img_b).save(db / name)
+        truths[name] = compute_ssim(luminance_bt601(img_a),
+                                    luminance_bt601(img_b))
+    assert cli.main(["--dir", "--batch=2", str(da), str(db)]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 3
+    for line in lines:
+        name, score = line.split(":")
+        assert float(score) == pytest.approx(truths[name.strip()], abs=1e-4)
+
+    assert cli.main(["--dir", "--ms", str(da), str(db)]) == 1
+    assert "--dir" in capsys.readouterr().err
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert cli.main(["--dir", str(da), str(empty)]) == 1
+    assert "no same-named" in capsys.readouterr().err
