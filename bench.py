@@ -48,6 +48,7 @@ def main():
         # Fused analytic backward kernel (ops/ssim_grad.py) and the
         # 5-scale MS-SSIM pyramid.
         ("grad_1080_b4", dict(impl="grad", batch=4, h=1080, w=1920, iters=48)),
+        ("grad_1080_b4_relaxed", dict(impl="grad", batch=4, h=1080, w=1920, iters=48, relaxed=True)),
         ("msssim_1080_b4", dict(impl="msssim", batch=4, h=1080, w=1920, iters=48)),
         ("xla_1080_nomap", dict(impl="xla", with_map=False, iters=24)),
     ]:

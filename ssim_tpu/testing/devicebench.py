@@ -46,7 +46,8 @@ def make_runner(impl: str, with_map: bool, precise: bool = False,
 
         def parts(a, b):
             da, db = ssim_grad_pallas(
-                a, b, 1.0, 0.0, data_range=255.0, interpret=interpret
+                a, b, 1.0, 0.0, data_range=255.0, interpret=interpret,
+                relaxed=relaxed,
             )
             return da[..., 0, 0] + db[..., 0, 0], None
     elif impl == "msssim":
