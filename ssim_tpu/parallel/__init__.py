@@ -24,7 +24,11 @@ ICI — the TPU-native equivalent of a distributed communication backend.
 
 from .mesh import make_mesh, default_mesh
 from .batch import ssim_batch_sharded, mean_ssim_sharded
-from .spatial import ssim_spatial_sharded
+from .spatial import (
+    mean_ssim_spatial,
+    ssim_grad_spatial_sharded,
+    ssim_spatial_sharded,
+)
 from . import multihost
 
 __all__ = [
@@ -33,5 +37,7 @@ __all__ = [
     "ssim_batch_sharded",
     "mean_ssim_sharded",
     "ssim_spatial_sharded",
+    "ssim_grad_spatial_sharded",
+    "mean_ssim_spatial",
     "multihost",
 ]

@@ -95,13 +95,13 @@ def ssim_spatial_sharded(
     n_shards = mesh.shape[axis]
     h, w = a.shape[-2], a.shape[-1]
     impl = select_impl("auto" if impl is None else impl)
-    # The fused kernel is u8-only at the default radius (reference
-    # README.md:107-111); other inputs take the XLA path (same gate as
-    # engine.compute).
+    # The fused kernel serves u8 pairs natively and float32 pairs via its
+    # sanitized float path (same gate as ops/routing.py); other inputs
+    # take the XLA path. Non-default radii are XLA-only.
+    float_pair = a.dtype == jnp.float32 and b.dtype == jnp.float32
     use_pallas = (
         impl == Implementation.PALLAS
-        and a.dtype == jnp.uint8
-        and b.dtype == jnp.uint8
+        and ((a.dtype == jnp.uint8 and b.dtype == jnp.uint8) or float_pair)
         and radius == RADIUS
     )
 
@@ -125,7 +125,7 @@ def ssim_spatial_sharded(
             be = _exchange_halos(b_s, axis, n_shards, radius)
             _, ssim_map = ssim_parts_pallas(
                 ae, be, with_map=True, data_range=data_range,
-                interpret=interpret,
+                interpret=interpret, allow_float=float_pair,
             )
             valid = ssim_map[radius : radius + shard_h, :]
             return jnp.sum(valid, axis=-1), (valid if with_map else None)
@@ -160,3 +160,172 @@ def ssim_spatial_sharded(
     row_sums, ssim_map = shard_fn(a, b)
     row_sums = row_sums[:h]
     return row_sums, (ssim_map[:h] if with_map else None)
+
+
+def mean_ssim_spatial(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    axis: str = "space",
+    data_range: float = 255.0,
+    impl="auto",
+) -> jnp.ndarray:
+    """Differentiable mean SSIM of ONE row-sharded (H, W) pair — the
+    spatial-sharding training surface. Forward: ssim_spatial_sharded
+    (fused kernel per shard for u8/f32 on the Pallas impl). Backward for
+    f32 inputs: the sharded fused analytic kernel
+    (ssim_grad_spatial_sharded) whenever the geometry allows (H divides
+    the axis, shards >= 2*RADIUS rows); XLA autodiff otherwise. Both
+    directions stay TPU-native kernels with halo rows over ICI.
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    h, w = a.shape[-2], a.shape[-1]
+    n = h * w
+    n_shards = mesh.shape[axis]
+
+    def fwd_mean(xa, xb, use_impl=impl):
+        row_sums, _ = ssim_spatial_sharded(
+            xa, xb, mesh, axis=axis, data_range=data_range, impl=use_impl,
+        )
+        return jnp.sum(row_sums) / n
+
+    float_pair = a.dtype == jnp.float32 and b.dtype == jnp.float32
+    grad_ok = (
+        a.ndim == 2
+        and float_pair
+        and h % n_shards == 0
+        and h // n_shards >= 2 * RADIUS
+    )
+    if not grad_ok:
+        # The fused kernel has no autodiff rule, so geometries the sharded
+        # backward can't take route float pairs through the sharded XLA
+        # forward (differentiable); u8 pairs (no gradient) keep impl.
+        return fwd_mean(a, b, "xla" if float_pair else impl)
+
+    @jax.custom_vjp
+    def f(xa, xb):
+        return fwd_mean(xa, xb)
+
+    def f_fwd(xa, xb):
+        return f(xa, xb), (xa, xb)
+
+    def f_bwd(res, g):
+        xa, xb = res
+        return ssim_grad_spatial_sharded(
+            xa, xb, mesh, axis=axis, w_s=jnp.asarray(g, jnp.float32) / n,
+            data_range=data_range,
+        )
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(a, b)
+
+
+def ssim_grad_spatial_sharded(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    axis: str = "space",
+    w_s=1.0,
+    data_range: float = 255.0,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(dL/da, dL/db) for L = w_s * sum_p SSIM(p) of ONE row-sharded
+    float32 (H, W) pair — the fused analytic backward kernel
+    (ops/ssim_grad.py) running across the mesh. The TPU-native
+    distributed-training story: forward AND backward stay in fused
+    kernels, with only 2*RADIUS halo rows per shard moving over ICI.
+
+    Why it is exact (each shard returns the true global gradients of its
+    own rows):
+
+    - Cross-shard terms: the gradient at a shard's row x sums
+      weight-map rows within RADIUS of x, and a weight-map row needs
+      blurred signals within RADIUS of it — a two-level dependency
+      reaching 2*RADIUS rows into the neighbor. Exchanging M = 2*RADIUS
+      true rows makes every weight-map row within RADIUS of the owned
+      region exact (its blurs read only true content, far enough from
+      the artificial band edge that the kernel's own clamp never
+      fires). Halo rows whose weight maps ARE clamp-polluted sit
+      >= RADIUS deeper and cannot reach owned rows.
+    - No double counting: every shard's kernel call includes the
+      neighbor halo rows' loss terms (their cotangent mask is 1), but
+      each shard keeps only its OWN rows of the output — the halo-row
+      gradients are the neighbor's to compute.
+    - True image borders: the top/bottom shards see M edge-replica halo
+      rows (clamp-to-edge content). Their loss terms are masked to 0
+      through the kernel's per-pixel g_map cotangent (they do not exist
+      in the true loss), and the replica rows' GRADIENTS are folded
+      back onto the edge row — the exact adjoint of clamp-to-edge
+      replication, which is how the folded tap mass of the reference's
+      border rule (src/ssim.cpp:560-582) reaches the edge pixel.
+
+    Requirements: float32 inputs (u8 has no gradient), H divisible by
+    the axis size, and shards at least 2*RADIUS rows tall (use fewer
+    shards or the single-device kernel otherwise). w_s may be a traced
+    scalar (e.g. a loss cotangent / (H*W)).
+
+    Validated against jax.grad of the unsharded XLA formulation across
+    shard counts and edge geometries (tests/test_distributed.py).
+    """
+    from ..ops.ssim_grad import ssim_grad_pallas
+
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if a.ndim != 2 or a.shape != b.shape:
+        raise ValueError(
+            f"ssim_grad_spatial_sharded takes one (H, W) pair, got "
+            f"{a.shape} vs {b.shape}"
+        )
+    if a.dtype != jnp.float32 or b.dtype != jnp.float32:
+        raise ValueError(
+            f"float32 pairs required (u8 has no gradient), got "
+            f"{a.dtype}/{b.dtype}"
+        )
+    n_shards = mesh.shape[axis]
+    h, w = a.shape
+    m = 2 * RADIUS
+    if h % n_shards != 0 or h // n_shards < m:
+        raise ValueError(
+            f"H={h} must divide the {axis!r} axis ({n_shards}) with shards "
+            f">= {m} rows tall; use fewer shards or the single-device kernel"
+        )
+    hs = h // n_shards
+    if interpret is None:
+        interpret = backend_platform() != "tpu"
+    w_arr = jnp.asarray(w_s, jnp.float32)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None)),
+        check_vma=False,  # pallas_call outputs carry no vma metadata
+    )
+    def shard_fn(a_s, b_s):
+        idx = jax.lax.axis_index(axis)
+        ae = _exchange_halos(a_s, axis, n_shards, m)
+        be = _exchange_halos(b_s, axis, n_shards, m)
+        # Per-pixel S cotangent: w_s on true image rows, 0 on the
+        # edge shards' replica halo rows (their loss terms don't exist).
+        gid = idx * hs - m + jnp.arange(hs + 2 * m)
+        mask = ((gid >= 0) & (gid < h)).astype(jnp.float32)
+        gmap = jnp.broadcast_to((mask * w_arr)[:, None], ae.shape)
+        da, db = ssim_grad_pallas(
+            ae, be, 0.0, 0.0, gmap, data_range=data_range,
+            interpret=interpret,
+        )
+
+        def fold(g):
+            own = g[m : m + hs]
+            top = jnp.where(idx == 0, jnp.sum(g[:m], axis=0), 0.0)
+            bot = jnp.where(
+                idx == n_shards - 1, jnp.sum(g[m + hs :], axis=0), 0.0
+            )
+            return own.at[0].add(top).at[hs - 1].add(bot)
+
+        return fold(da), fold(db)
+
+    return shard_fn(a, b)

@@ -172,3 +172,130 @@ def test_spatial_pallas_wide_mxu_mode(rng):
     got = float(np.asarray(row_sums, np.float64).sum() / (h * w))
     want = compute_ssim(a, b, impl="pallas")
     assert got == pytest.approx(want, abs=2e-6)
+
+
+@pytest.mark.parametrize("n_shards,h", [(2, 120), (4, 120), (8, 160), (8, 80)])
+def test_grad_spatial_sharded_matches_unsharded(rng, n_shards, h):
+    """The fused backward kernel under spatial sharding returns the exact
+    global gradients: every shard count (incl. the hs == 2*RADIUS minimum
+    at (8, 80)) must match jax.grad of the unsharded XLA formulation —
+    edge shards exercise the replica-halo mask + grad fold, interior
+    shards the cross-boundary weight-map terms."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssim_tpu.ops.ssim_xla import ssim_parts_xla
+    from ssim_tpu.parallel import ssim_grad_spatial_sharded
+
+    w = 96
+    a = rng.random((h, w)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.06, a.shape), 0, 1).astype(np.float32)
+    ws = 1.0 / (h * w)
+    ga, gb = jax.grad(
+        lambda x, y: ws * jnp.sum(ssim_parts_xla(x, y, data_range=1.0)[0]),
+        argnums=(0, 1),
+    )(jnp.asarray(a), jnp.asarray(b))
+    mesh = make_mesh((n_shards,), ("space",))
+    da, db = ssim_grad_spatial_sharded(a, b, mesh, w_s=ws, data_range=1.0)
+    scale = float(jnp.abs(ga).max())
+    assert float(jnp.abs(da - ga).max()) <= 3e-5 * scale
+    assert float(jnp.abs(db - gb).max()) <= 3e-5 * scale
+
+
+def test_grad_spatial_sharded_traced_cotangent(rng):
+    """w_s may be a traced scalar (a loss cotangent): the whole sharded
+    backward works under jit, and scaling w_s scales the gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssim_tpu.parallel import ssim_grad_spatial_sharded
+
+    h, w = 80, 64
+    a = rng.random((h, w)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.06, a.shape), 0, 1).astype(np.float32)
+    mesh = make_mesh((4,), ("space",))
+
+    @jax.jit
+    def run(ws):
+        return ssim_grad_spatial_sharded(a, b, mesh, w_s=ws, data_range=1.0)
+
+    da1, _ = run(jnp.float32(1.0))
+    da3, _ = run(jnp.float32(3.0))
+    np.testing.assert_allclose(
+        np.asarray(da3), 3.0 * np.asarray(da1), rtol=1e-5,
+        atol=1e-5 * float(np.abs(np.asarray(da1)).max()),  # f32 floor for ~0 entries
+    )
+
+
+def test_grad_spatial_sharded_rejects_bad_geometry(rng):
+    from ssim_tpu.errors import InvalidArgumentError  # noqa: F401
+    from ssim_tpu.parallel import ssim_grad_spatial_sharded
+
+    mesh = make_mesh((4,), ("space",))
+    f32 = np.float32
+    ok = rng.random((80, 64)).astype(f32)
+    with pytest.raises(ValueError, match="divide"):
+        ssim_grad_spatial_sharded(ok[:79], ok[:79], mesh)
+    with pytest.raises(ValueError, match="divide"):  # 40/4 = 10 rows < 2r is
+        ssim_grad_spatial_sharded(ok[:36], ok[:36], mesh)  # 9 rows: too thin
+    with pytest.raises(ValueError, match="float32"):
+        u8 = (ok * 255).astype(np.uint8)
+        ssim_grad_spatial_sharded(u8, u8, mesh)
+    with pytest.raises(ValueError, match="one"):
+        ssim_grad_spatial_sharded(ok[None], ok[None], mesh)
+
+
+def test_spatial_pallas_float_pair(rng):
+    """float32 pairs ride the fused kernel under spatial sharding
+    (allow_float path) and match the unsharded XLA value."""
+    import jax.numpy as jnp
+
+    from ssim_tpu.ops.ssim_xla import ssim_parts_xla
+
+    h, w = 96, 640
+    a = rng.random((h, w)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.06, a.shape), 0, 1).astype(np.float32)
+    mesh = make_mesh((4,), ("space",))
+    row_sums, smap = ssim_spatial_sharded(
+        a, b, mesh, data_range=1.0, with_map=True, impl="pallas"
+    )
+    want = float(jnp.sum(
+        ssim_parts_xla(jnp.asarray(a), jnp.asarray(b), data_range=1.0)[0]
+    )) / (h * w)
+    got = float(np.asarray(row_sums, np.float64).sum()) / (h * w)
+    assert got == pytest.approx(want, abs=2e-6)
+    assert smap.shape == (h, w)
+
+
+def test_mean_ssim_spatial_differentiable(rng):
+    """mean_ssim_spatial: sharded fused forward + sharded fused backward;
+    value and gradient match the unsharded XLA formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssim_tpu.ops.ssim_xla import ssim_parts_xla
+    from ssim_tpu.parallel import mean_ssim_spatial
+
+    h, w = 120, 96
+    a = rng.random((h, w)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.06, a.shape), 0, 1).astype(np.float32)
+    mesh = make_mesh((4,), ("space",))
+    val = float(mean_ssim_spatial(a, b, mesh, data_range=1.0, impl="pallas"))
+    want = float(jnp.sum(ssim_parts_xla(
+        jnp.asarray(a), jnp.asarray(b), data_range=1.0)[0]) / (h * w))
+    assert val == pytest.approx(want, abs=1e-6)
+
+    loss = lambda x: 1.0 - mean_ssim_spatial(
+        x, b, mesh, data_range=1.0, impl="pallas")
+    ga = jax.grad(loss)(jnp.asarray(a))
+    gx = jax.grad(lambda x: 1.0 - jnp.sum(ssim_parts_xla(
+        x, jnp.asarray(b), data_range=1.0)[0]) / (h * w))(jnp.asarray(a))
+    scale = float(jnp.abs(gx).max())
+    assert float(jnp.abs(ga - gx).max()) <= 3e-5 * scale
+
+    # geometry the sharded backward can't take falls back to autodiff
+    a9 = a[:117]  # 117 % 4 != 0 -> padded forward, autodiff VJP
+    b9 = b[:117]
+    g9 = jax.grad(lambda x: 1.0 - mean_ssim_spatial(
+        x, b9, mesh, data_range=1.0, impl="pallas"))(jnp.asarray(a9))
+    assert bool(jnp.isfinite(g9).all())
