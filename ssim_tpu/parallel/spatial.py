@@ -168,41 +168,102 @@ def mean_ssim_spatial(
     mesh: Mesh,
     *,
     axis: str = "space",
+    batch_axis: Optional[str] = None,
     data_range: float = 255.0,
     impl="auto",
 ) -> jnp.ndarray:
-    """Differentiable mean SSIM of ONE row-sharded (H, W) pair — the
-    spatial-sharding training surface. Forward: ssim_spatial_sharded
-    (fused kernel per shard for u8/f32 on the Pallas impl). Backward for
-    f32 inputs: the sharded fused analytic kernel
+    """Differentiable mean SSIM of a row-sharded (H, W) pair — or a
+    (B, H, W) batch, optionally batch-sharded over a second mesh axis
+    (the 2-D data x space composition) — the spatial-sharding training
+    surface. Forward: fused kernel per shard for u8/f32 on the Pallas
+    impl. Backward for f32 inputs: the sharded fused analytic kernel
     (ssim_grad_spatial_sharded) whenever the geometry allows (H divides
-    the axis, shards >= 2*RADIUS rows); XLA autodiff otherwise. Both
-    directions stay TPU-native kernels with halo rows over ICI.
+    the axis, shards >= 2*RADIUS rows); XLA autodiff otherwise
+    (single-image only — batched inputs require the fused-backward
+    geometry). Both directions stay TPU-native kernels with halo rows
+    over ICI.
     """
     a = jnp.asarray(a)
     b = jnp.asarray(b)
-    h, w = a.shape[-2], a.shape[-1]
-    n = h * w
-    n_shards = mesh.shape[axis]
-
-    def fwd_mean(xa, xb, use_impl=impl):
-        row_sums, _ = ssim_spatial_sharded(
-            xa, xb, mesh, axis=axis, data_range=data_range, impl=use_impl,
+    if a.ndim not in (2, 3) or a.shape != b.shape:
+        raise ValueError(
+            f"mean_ssim_spatial takes one (H, W) pair or a (B, H, W) "
+            f"batch, got {a.shape} vs {b.shape}"
         )
-        return jnp.sum(row_sums) / n
-
+    if batch_axis is not None and a.ndim != 3:
+        raise ValueError("batch_axis requires (B, H, W) inputs")
+    h, w = a.shape[-2], a.shape[-1]
+    batch = 1 if a.ndim == 2 else a.shape[0]
+    n = batch * h * w
+    n_shards = mesh.shape[axis]
     float_pair = a.dtype == jnp.float32 and b.dtype == jnp.float32
     grad_ok = (
-        a.ndim == 2
-        and float_pair
+        float_pair
         and h % n_shards == 0
         and h // n_shards >= 2 * RADIUS
     )
-    if not grad_ok:
-        # The fused kernel has no autodiff rule, so geometries the sharded
-        # backward can't take route float pairs through the sharded XLA
-        # forward (differentiable); u8 pairs (no gradient) keep impl.
-        return fwd_mean(a, b, "xla" if float_pair else impl)
+
+    if a.ndim == 2:
+        def fwd_mean(xa, xb, use_impl=impl):
+            row_sums, _ = ssim_spatial_sharded(
+                xa, xb, mesh, axis=axis, data_range=data_range,
+                impl=use_impl,
+            )
+            return jnp.sum(row_sums) / n
+
+        if not grad_ok:
+            # The fused kernel has no autodiff rule, so geometries the
+            # sharded backward can't take route float pairs through the
+            # sharded XLA forward (differentiable); u8 pairs (no
+            # gradient) keep impl.
+            return fwd_mean(a, b, "xla" if float_pair else impl)
+    else:
+        if h % n_shards != 0 or h // n_shards < RADIUS:
+            raise ValueError(
+                f"batched mean_ssim_spatial needs H={h} divisible by the "
+                f"{axis!r} axis ({n_shards}) with shards >= {RADIUS} rows"
+            )
+        if a.dtype == jnp.uint8:
+            fp = False
+        elif float_pair:
+            fp = True
+        else:
+            raise ValueError(
+                f"batched mean_ssim_spatial takes uint8 or float32 pairs, "
+                f"got {a.dtype}/{b.dtype}"
+            )
+        hs = h // n_shards
+        interpret = backend_platform() != "tpu"
+        spec = P(batch_axis, axis, None)
+        psum_axes = (axis,) + ((batch_axis,) if batch_axis else ())
+
+        from ..ops.ssim_pallas import ssim_parts_pallas
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=(spec, spec), out_specs=P(),
+            check_vma=False,
+        )
+        def fwd_sharded(xa, xb):
+            ae = _exchange_halos(xa, axis, n_shards, RADIUS)
+            be = _exchange_halos(xb, axis, n_shards, RADIUS)
+            _, smap = ssim_parts_pallas(
+                ae, be, with_map=True, data_range=data_range,
+                interpret=interpret, allow_float=fp,
+            )
+            local = jnp.sum(smap[:, RADIUS : RADIUS + hs, :])
+            return jax.lax.psum(local, psum_axes) / n
+
+        def fwd_mean(xa, xb):
+            return fwd_sharded(xa, xb)
+
+        if a.dtype == jnp.uint8:
+            return fwd_mean(a, b)  # no gradient through u8 anyway
+        if not grad_ok:
+            raise ValueError(
+                f"batched differentiable mean_ssim_spatial needs shards "
+                f">= {2 * RADIUS} rows (H={h} over {n_shards} shards); "
+                f"use fewer shards"
+            )
 
     @jax.custom_vjp
     def f(xa, xb):
@@ -214,8 +275,8 @@ def mean_ssim_spatial(
     def f_bwd(res, g):
         xa, xb = res
         return ssim_grad_spatial_sharded(
-            xa, xb, mesh, axis=axis, w_s=jnp.asarray(g, jnp.float32) / n,
-            data_range=data_range,
+            xa, xb, mesh, axis=axis, batch_axis=batch_axis,
+            w_s=jnp.asarray(g, jnp.float32) / n, data_range=data_range,
         )
 
     f.defvjp(f_fwd, f_bwd)
@@ -228,6 +289,7 @@ def ssim_grad_spatial_sharded(
     mesh: Mesh,
     *,
     axis: str = "space",
+    batch_axis: Optional[str] = None,
     w_s=1.0,
     data_range: float = 255.0,
     interpret: Optional[bool] = None,
@@ -267,6 +329,11 @@ def ssim_grad_spatial_sharded(
     shards or the single-device kernel otherwise). w_s may be a traced
     scalar (e.g. a loss cotangent / (H*W)).
 
+    Batched form: (B, H, W) pairs with rows still sharded over `axis`;
+    `batch_axis` optionally shards B over a second mesh axis (the 2-D
+    data x space composition the training dryrun uses). The kernel
+    batches natively, so this is the same exactness argument per image.
+
     Validated against jax.grad of the unsharded XLA formulation across
     shard counts and edge geometries (tests/test_distributed.py).
     """
@@ -274,18 +341,20 @@ def ssim_grad_spatial_sharded(
 
     a = jnp.asarray(a)
     b = jnp.asarray(b)
-    if a.ndim != 2 or a.shape != b.shape:
+    if a.ndim not in (2, 3) or a.shape != b.shape:
         raise ValueError(
-            f"ssim_grad_spatial_sharded takes one (H, W) pair, got "
-            f"{a.shape} vs {b.shape}"
+            f"ssim_grad_spatial_sharded takes one (H, W) pair or a "
+            f"(B, H, W) batch, got {a.shape} vs {b.shape}"
         )
+    if batch_axis is not None and a.ndim != 3:
+        raise ValueError("batch_axis requires (B, H, W) inputs")
     if a.dtype != jnp.float32 or b.dtype != jnp.float32:
         raise ValueError(
             f"float32 pairs required (u8 has no gradient), got "
             f"{a.dtype}/{b.dtype}"
         )
     n_shards = mesh.shape[axis]
-    h, w = a.shape
+    h, w = a.shape[-2:]
     m = 2 * RADIUS
     if h % n_shards != 0 or h // n_shards < m:
         raise ValueError(
@@ -296,12 +365,18 @@ def ssim_grad_spatial_sharded(
     if interpret is None:
         interpret = backend_platform() != "tpu"
     w_arr = jnp.asarray(w_s, jnp.float32)
+    if w_arr.ndim != 0:
+        raise ValueError(
+            "w_s must be a scalar (per-image weights would need their own "
+            f"sharding spec), got shape {w_arr.shape}"
+        )
+    spec = P(axis, None) if a.ndim == 2 else P(batch_axis, axis, None)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None)),
-        out_specs=(P(axis, None), P(axis, None)),
+        in_specs=(spec, spec),
+        out_specs=(spec, spec),
         check_vma=False,  # pallas_call outputs carry no vma metadata
     )
     def shard_fn(a_s, b_s):
@@ -319,12 +394,14 @@ def ssim_grad_spatial_sharded(
         )
 
         def fold(g):
-            own = g[m : m + hs]
-            top = jnp.where(idx == 0, jnp.sum(g[:m], axis=0), 0.0)
-            bot = jnp.where(
-                idx == n_shards - 1, jnp.sum(g[m + hs :], axis=0), 0.0
+            own = g[..., m : m + hs, :]
+            top = jnp.where(
+                idx == 0, jnp.sum(g[..., :m, :], axis=-2), 0.0
             )
-            return own.at[0].add(top).at[hs - 1].add(bot)
+            bot = jnp.where(
+                idx == n_shards - 1, jnp.sum(g[..., m + hs :, :], axis=-2), 0.0
+            )
+            return own.at[..., 0, :].add(top).at[..., hs - 1, :].add(bot)
 
         return fold(da), fold(db)
 

@@ -241,8 +241,14 @@ def test_grad_spatial_sharded_rejects_bad_geometry(rng):
     with pytest.raises(ValueError, match="float32"):
         u8 = (ok * 255).astype(np.uint8)
         ssim_grad_spatial_sharded(u8, u8, mesh)
-    with pytest.raises(ValueError, match="one"):
-        ssim_grad_spatial_sharded(ok[None], ok[None], mesh)
+    with pytest.raises(ValueError, match="pair"):
+        ssim_grad_spatial_sharded(ok[None, None], ok[None, None], mesh)
+    with pytest.raises(ValueError, match="batch_axis"):
+        ssim_grad_spatial_sharded(ok, ok, mesh, batch_axis="space")
+    with pytest.raises(ValueError, match="scalar"):
+        ssim_grad_spatial_sharded(
+            ok[None], ok[None], mesh, w_s=np.ones((1,), np.float32)
+        )
 
 
 def test_spatial_pallas_float_pair(rng):
@@ -299,3 +305,52 @@ def test_mean_ssim_spatial_differentiable(rng):
     g9 = jax.grad(lambda x: 1.0 - mean_ssim_spatial(
         x, b9, mesh, data_range=1.0, impl="pallas"))(jnp.asarray(a9))
     assert bool(jnp.isfinite(g9).all())
+
+
+def test_mean_ssim_spatial_batched_2d_mesh(rng):
+    """(B, H, W) batch on a 2-D data x space mesh: batch sharded over
+    'data', rows over 'space'; value and gradient (fused both
+    directions) match unsharded XLA autodiff. Also covers the
+    replicated-batch form (batch_axis=None) and the u8 batched forward."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from ssim_tpu.ops.ssim_xla import ssim_parts_xla
+    from ssim_tpu.parallel import mean_ssim_spatial
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    B, h, w = 4, 80, 64
+    a = rng.random((B, h, w)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.06, a.shape), 0, 1).astype(np.float32)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "space"))
+
+    val = float(mean_ssim_spatial(a, b, mesh, axis="space",
+                                  batch_axis="data", data_range=1.0,
+                                  impl="pallas"))
+    want = float(jnp.sum(ssim_parts_xla(
+        jnp.asarray(a), jnp.asarray(b), data_range=1.0)[0]) / (B * h * w))
+    assert val == pytest.approx(want, abs=1e-6)
+
+    gx = jax.grad(lambda x: 1.0 - jnp.sum(ssim_parts_xla(
+        x, jnp.asarray(b), data_range=1.0)[0]) / (B * h * w))(jnp.asarray(a))
+    scale = float(jnp.abs(gx).max())
+    ga = jax.grad(lambda x: 1.0 - mean_ssim_spatial(
+        x, b, mesh, axis="space", batch_axis="data", data_range=1.0,
+        impl="pallas"))(jnp.asarray(a))
+    assert float(jnp.abs(ga - gx).max()) <= 3e-5 * scale
+
+    mesh1 = make_mesh((4,), ("space",))
+    ga2 = jax.grad(lambda x: 1.0 - mean_ssim_spatial(
+        x, b, mesh1, data_range=1.0, impl="pallas"))(jnp.asarray(a))
+    assert float(jnp.abs(ga2 - gx).max()) <= 3e-5 * scale
+
+    u8a = (a * 255).astype(np.uint8)
+    u8b = (b * 255).astype(np.uint8)
+    v8 = float(mean_ssim_spatial(u8a, u8b, mesh, axis="space",
+                                 batch_axis="data"))
+    assert 0.0 < v8 <= 1.0
+
+    with pytest.raises(ValueError, match="batch_axis"):
+        mean_ssim_spatial(a[0], b[0], mesh, axis="space", batch_axis="data")
