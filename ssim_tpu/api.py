@@ -131,9 +131,9 @@ def compute_ssim_legacy(a, b=None, **kwargs) -> float:
 
 def _pallas_forward_with_xla_vjp(pallas_fn, xla_fn):
     """Differentiable wrapper for float inputs: fused-kernel forward,
-    gradients via the XLA formulation's VJP (fallback for the cases the
-    fused backward kernel doesn't cover: per-pixel map cotangents and
-    very wide images). The first grad call pays the XLA compile."""
+    gradients via the XLA formulation's VJP (fallback for the dtypes the
+    fused backward kernel doesn't take — f64/u16 cast paths). The first
+    grad call pays the XLA compile."""
 
     @jax.custom_vjp
     def f(xa, xb):
@@ -239,8 +239,9 @@ def _run_metric(a, b, impl, data_range, with_map, relaxed=False):
     ):
         # f32 calls get the fully TPU-native path: fused forward + fused
         # analytic backward (the map cotangent rides as the kernel's
-        # per-pixel g_map input). f64/u16 inputs and very wide images
-        # keep the XLA-formulation VJP.
+        # per-pixel g_map input; widths beyond one kernel call are
+        # column-chunked inside ssim_grad_pallas). f64/u16 inputs keep
+        # the XLA-formulation VJP.
         f = _pallas_with_pallas_vjp(pallas_fn, data_range, interpret, n,
                                     with_map, relaxed=relaxed)
     else:
@@ -303,8 +304,9 @@ def ssim_loss(
     impl: "auto" selects the fused Pallas kernel on TPU (float inputs)
     with the fused analytic backward kernel as its VJP — both directions
     are TPU-native kernels that compile in seconds and run at ~10 / ~4
-    Gpix/s on v5e (f64/u16 inputs and very wide images fall back to the
-    XLA formulation's VJP). "xla" forces the XLA path throughout.
+    Gpix/s on v5e; any width (wide images column-chunk the backward).
+    f64/u16 inputs fall back to the XLA formulation's VJP. "xla" forces
+    the XLA path throughout.
     """
     score = _run_metric(a, b, impl, data_range, with_map=False,
                         relaxed=_relaxed(accuracy))

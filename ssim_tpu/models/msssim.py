@@ -189,7 +189,7 @@ def ms_ssim(
     Returns scalar for 2-D inputs, (B,) for batched. Differentiable on
     every path: for f32 inputs each pyramid scale carries the fused
     analytic backward kernel (ops/ssim_grad.py) as its VJP, so forward
-    AND gradient are TPU-native kernels; very wide images fall back to
+    AND gradient are TPU-native kernels; non-f32 dtypes fall back to
     an XLA-formulation VJP (slow first grad compile, same numerics).
 
     impl: "auto" (the fused components-mode Pallas kernel on TPU — ~1.7x
@@ -232,8 +232,9 @@ def ms_ssim(
         return _ms_pallas_forward(a, b, data_range, weights, interpret,
                                   diff=True, relaxed=relaxed)
 
-    # Very wide images: fused forward, XLA-formulation VJP (slow first
-    # grad compile, same numerics).
+    # Defensive fallback (grad_pallas_supported now accepts any width,
+    # so this branch is unreachable for valid pyramids): fused forward,
+    # XLA-formulation VJP.
     @jax.custom_vjp
     def f(xa, xb):
         return _ms_pallas_forward(xa, xb, data_range, weights, interpret,

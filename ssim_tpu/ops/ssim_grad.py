@@ -69,17 +69,22 @@ from .ssim_pallas import (
     hpass_tap_matrix,
 )
 
-#: Max image width of the fused backward fast path (VMEM-bound: ~12 live
-#: f32 (rows x w) arrays at tile_h 32, under the raised 100 MiB scoped
-#: window — see the CompilerParams note). Wider images fall back to the
-#: XLA VJP. Measured on v5e: 7680 (8K) compiles and runs; the next
-#: standard width up would exceed the window.
+#: Max image width of ONE fused-backward kernel call (VMEM-bound: ~12
+#: live f32 (rows x w) arrays, under the raised 100 MiB scoped window —
+#: see the CompilerParams note). Measured on v5e: 7680 (8K) compiles and
+#: runs; the next standard width up would exceed the window. Wider
+#: images are column-chunked (overlapping windows, see ssim_grad_pallas)
+#: so any width is supported.
 GRAD_MAX_W = 7680
+
+#: Owned columns per chunk in the wide (column-chunked) backward path.
+GRAD_CHUNK_W = 3840
 
 
 def grad_pallas_supported(h: int, w: int) -> bool:
-    """Whether ssim_grad_pallas handles an h x w image (else: XLA VJP)."""
-    return RADIUS < w <= GRAD_MAX_W and h >= 1
+    """Whether ssim_grad_pallas handles an h x w image (else: XLA VJP).
+    Any width > RADIUS works since the column-chunked wide path."""
+    return w > RADIUS and h >= 1
 
 
 def _fwd_mid_band_matrices(tile_h: int, taps: np.ndarray, h: int, nh: int) -> np.ndarray:
@@ -462,7 +467,7 @@ def ssim_grad_pallas(
     batch, h, w = a.shape
     if not grad_pallas_supported(h, w):
         raise ValueError(
-            f"ssim_grad_pallas supports {RADIUS} < w <= {GRAD_MAX_W}, got w={w}"
+            f"ssim_grad_pallas needs w > {RADIUS} and h >= 1, got {h}x{w}"
         )
     ws = jnp.stack(
         [
@@ -491,8 +496,41 @@ def ssim_grad_pallas(
         # The 16-row halos come from single neighbor blocks (tile_h >=
         # 16) and sublane alignment wants multiples of 8.
         raise ValueError(f"tile_h must be a multiple of 8 >= 16, got {tile_h}")
-    da, db = _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound,
-                        gmap=g_map, tile_h=tile_h, relaxed=relaxed)
+    if w <= GRAD_MAX_W:
+        da, db = _grad_call(a, b, ws, h, w, taps, c1, c2, interpret,
+                            clip_bound, gmap=g_map, tile_h=tile_h,
+                            relaxed=relaxed)
+    else:
+        # Column-chunked wide path: overlapping windows of GRAD_CHUNK_W
+        # owned columns + 2*RADIUS halo columns each side. Owned-column
+        # gradients are exact by the same two-level halo argument as the
+        # spatial row sharding (parallel/spatial.py): every weight-map
+        # column within RADIUS of the owned range reads only true
+        # content (>= RADIUS from the window edge, so the kernel's own
+        # horizontal clamp never fires there), and clamp-polluted
+        # weight-map columns sit >= RADIUS deeper — their adjoint spread
+        # stays inside the discarded halo columns. Windows at the true
+        # image edges keep the kernel's clamp semantics natively. Loss
+        # terms in the overlap are computed by both windows, but each
+        # input column's gradient is kept from exactly one window.
+        r2 = 2 * RADIUS
+        das, dbs = [], []
+        start = 0
+        while start < w:
+            end = min(w, start + GRAD_CHUNK_W)
+            lo = max(0, start - r2)
+            hi = min(w, end + r2)
+            gm = None if g_map is None else g_map[..., lo:hi]
+            da_c, db_c = _grad_call(
+                a[..., lo:hi], b[..., lo:hi], ws, h, hi - lo, taps, c1, c2,
+                interpret, clip_bound, gmap=gm, tile_h=tile_h,
+                relaxed=relaxed,
+            )
+            das.append(da_c[..., start - lo : end - lo])
+            dbs.append(db_c[..., start - lo : end - lo])
+            start = end
+        da = jnp.concatenate(das, axis=-1)
+        db = jnp.concatenate(dbs, axis=-1)
     if squeeze:
         da, db = da[0], db[0]
     return da, db

@@ -104,10 +104,12 @@ def test_grad_nan_input_poisons_gradients(rng):
 
 
 def test_grad_rejects_unsupported(rng):
-    assert not grad_pallas_supported(64, GRAD_MAX_W + 128)
+    # Any width above the radius is supported since the column-chunked
+    # wide path (widths > GRAD_MAX_W split into overlapping windows).
+    assert grad_pallas_supported(64, GRAD_MAX_W + 128)
     assert not grad_pallas_supported(64, 4)  # w <= radius
     a = np.zeros((8, 4), np.float32)
-    with pytest.raises(ValueError, match="supports"):
+    with pytest.raises(ValueError, match="needs"):
         ssim_grad_pallas(a, a, 1.0, 0.0, interpret=True)
     au = np.zeros((8, 64), np.uint8)
     with pytest.raises(ValueError, match="float32"):
@@ -344,3 +346,42 @@ def test_grad_data_range_scaling(rng, data_range):
         np.testing.assert_allclose(
             np.asarray(p), np.asarray(x), atol=3e-5 * max(1.0, scale)
         )
+
+
+def test_grad_wide_column_chunked(rng):
+    """Widths beyond GRAD_MAX_W column-chunk into overlapping windows;
+    the stitched gradients must be exact. Validated two ways: (a) a
+    forced small chunk width against the unchunked call (bitwise), and
+    (b) a genuinely wide image against the XLA autodiff VJP."""
+    import jax
+    import jax.numpy as jnp
+
+    import ssim_tpu.ops.ssim_grad as sg
+    from ssim_tpu.ops.ssim_xla import ssim_parts_xla
+
+    a, b = _float_pair(rng, 24, 3000)
+    want_da, want_db = ssim_grad_pallas(
+        a, b, 1.0, 0.25, data_range=1.0, interpret=True
+    )
+    old = sg.GRAD_MAX_W, sg.GRAD_CHUNK_W
+    sg.GRAD_MAX_W, sg.GRAD_CHUNK_W = 1200, 1024
+    try:
+        da, db = ssim_grad_pallas(
+            a, b, 1.0, 0.25, data_range=1.0, interpret=True
+        )
+    finally:
+        sg.GRAD_MAX_W, sg.GRAD_CHUNK_W = old
+    np.testing.assert_array_equal(np.asarray(da), np.asarray(want_da))
+    np.testing.assert_array_equal(np.asarray(db), np.asarray(want_db))
+
+    aw, bw = _float_pair(rng, 16, 8000)  # > GRAD_MAX_W: real chunking
+    assert grad_pallas_supported(16, 8000)
+    da, db = ssim_grad_pallas(aw, bw, 1.0, 0.0, data_range=1.0,
+                              interpret=True)
+    ga, gb = jax.grad(
+        lambda x, y: jnp.sum(ssim_parts_xla(x, y, data_range=1.0)[0]),
+        argnums=(0, 1),
+    )(jnp.asarray(aw), jnp.asarray(bw))
+    scale = float(jnp.abs(ga).max())
+    assert float(jnp.abs(da - ga).max()) <= 3e-5 * scale
+    assert float(jnp.abs(db - gb).max()) <= 3e-5 * scale
