@@ -174,7 +174,9 @@ def test_spatial_pallas_wide_mxu_mode(rng):
     assert got == pytest.approx(want, abs=2e-6)
 
 
-@pytest.mark.parametrize("n_shards,h", [(2, 120), (4, 120), (8, 160), (8, 80)])
+@pytest.mark.parametrize(
+    "n_shards,h", [(1, 60), (2, 120), (4, 120), (8, 160), (8, 80)]
+)
 def test_grad_spatial_sharded_matches_unsharded(rng, n_shards, h):
     """The fused backward kernel under spatial sharding returns the exact
     global gradients: every shard count (incl. the hs == 2*RADIUS minimum
