@@ -41,6 +41,10 @@ def compute_ssim(
     precision=None,
     downsample=None,
     accuracy=None,
+    radius: int = 5,
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
 ):
     """Global SSIM of two single-channel images (or batches of them).
 
@@ -58,6 +62,11 @@ def compute_ssim(
     tier (~16-18 vs ~13-14 Gpix/s on v5e; global error typically
     <=2e-7, bounded ~3.8e-6 — outside the reference f32 build's
     1.49e-6 tier). See engine.compute.
+
+    radius/sigma/k1/k2 (extension, defaults = the reference contract):
+    custom Gaussian window and stabilization constants, skimage-style
+    (win_size = 2*radius+1, gaussian_weights; K1/K2). See engine.compute
+    for path routing.
     """
     params = None
     if isinstance(a, Params):
@@ -83,7 +92,7 @@ def compute_ssim(
     score, ssim_map = engine.compute(
         _unwrap(a), _unwrap(b), with_map=with_map, impl=impl,
         data_range=data_range, precision=precision, downsample=downsample,
-        accuracy=accuracy,
+        accuracy=accuracy, radius=radius, sigma=sigma, k1=k1, k2=k2,
     )
     if params is not None and params.map_buffer is not None:
         # Reference ssimStep/ssimStride map layout (include/rmgr/ssim.h:514-516).
@@ -152,7 +161,7 @@ def _pallas_forward_with_xla_vjp(pallas_fn, xla_fn):
 
 
 def _pallas_with_pallas_vjp(pallas_fn, data_range, interpret, n, with_map,
-                            relaxed=False):
+                            relaxed=False, sigma=1.5, k1=0.01, k2=0.03):
     """Fully TPU-native differentiable wrapper: fused-kernel forward AND
     fused-kernel analytic backward (ops/ssim_grad.py) — no XLA-formulation
     compile anywhere in the training path. The score is sum(SSIM)/n, so
@@ -180,13 +189,15 @@ def _pallas_with_pallas_vjp(pallas_fn, data_range, interpret, n, with_map,
         return ssim_grad_pallas(
             xa, xb, jnp.asarray(g_score, jnp.float32) / n, 0.0, g_map,
             data_range=data_range, interpret=interpret, relaxed=relaxed,
+            sigma=sigma, k1=k1, k2=k2,
         )
 
     f.defvjp(f_fwd, f_bwd)
     return f
 
 
-def _run_metric(a, b, impl, data_range, with_map, relaxed=False):
+def _run_metric(a, b, impl, data_range, with_map, relaxed=False,
+                radius=5, sigma=1.5, k1=0.01, k2=0.03):
     """Shared body of ssim/ssim_and_map: dtype routing (ops.routing), a
     differentiable XLA-backed VJP for float inputs on the Pallas impl.
 
@@ -204,6 +215,8 @@ def _run_metric(a, b, impl, data_range, with_map, relaxed=False):
     # is free here — a mismatch raises InvalidArgumentError at trace time
     # instead of surfacing as a cryptic XLA broadcast error.
     engine.validate_pair(a, b)
+    engine.validate_window(radius, sigma, k1, k2)
+    radius = int(radius)
 
     n = a.shape[-1] * a.shape[-2]
 
@@ -213,10 +226,18 @@ def _run_metric(a, b, impl, data_range, with_map, relaxed=False):
         return (score, ssim_map) if with_map else score
 
     def xla_fn(xa, xb):
-        return finish(ssim_parts_xla(xa, xb, with_map=with_map, data_range=data_range))
+        return finish(ssim_parts_xla(
+            xa, xb, with_map=with_map, data_range=data_range,
+            radius=radius, sigma=sigma, k1=k1, k2=k2,
+        ))
 
     resolved = select_impl(impl)
-    if resolved != Implementation.PALLAS or not pallas_routable(a, b):
+    if (
+        resolved != Implementation.PALLAS
+        or not pallas_routable(a, b)
+        or radius != 5  # the fused kernel's halo geometry is radius-5
+    ):
+        # The plain XLA formulation — differentiable by ordinary autodiff.
         return xla_fn(a, b)
 
     interpret = backend_platform() != "tpu"
@@ -226,6 +247,7 @@ def _run_metric(a, b, impl, data_range, with_map, relaxed=False):
             ssim_parts_auto(
                 xa, xb, with_map=with_map, data_range=data_range,
                 interpret=interpret, relaxed=relaxed,
+                sigma=sigma, k1=k1, k2=k2,
             )
         )
 
@@ -243,30 +265,43 @@ def _run_metric(a, b, impl, data_range, with_map, relaxed=False):
         # column-chunked inside ssim_grad_pallas). f64/u16 inputs keep
         # the XLA-formulation VJP.
         f = _pallas_with_pallas_vjp(pallas_fn, data_range, interpret, n,
-                                    with_map, relaxed=relaxed)
+                                    with_map, relaxed=relaxed,
+                                    sigma=sigma, k1=k1, k2=k2)
     else:
         f = _pallas_forward_with_xla_vjp(pallas_fn, xla_fn)
     return f(a, b)
 
 
-@functools.partial(jax.jit, static_argnames=("data_range", "impl", "accuracy"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "data_range", "impl", "accuracy", "radius", "sigma", "k1", "k2",
+    ),
+)
 def ssim(
     a, b, *, data_range: float = 255.0, impl: str = "auto",
-    accuracy: str = "standard",
+    accuracy: str = "standard", radius: int = 5, sigma: float = 1.5,
+    k1: float = 0.01, k2: float = 0.03,
 ) -> jnp.ndarray:
     """Jittable global SSIM, f32 on device. a, b: (..., H, W).
 
     Returns scalar for 2-D inputs, (B,) for batched. Differentiable for
     float inputs on every impl: f32 score-only calls use the fused
-    analytic backward kernel (ops/ssim_grad.py, ~4 Gpix/s on v5e);
+    analytic backward kernel (ops/ssim_grad.py, ~5.7 Gpix/s on v5e);
     other cases carry an XLA-formulation custom VJP.
 
     accuracy="relaxed" opts wide images into the fused kernel's fast
     bf16-split tier, forward and backward (see compute_ssim and
     _run_metric).
+
+    radius/sigma/k1/k2 (extension): custom window and stabilization
+    constants; sigma/k1/k2 keep the fused kernels (including the fused
+    backward), a non-default radius rides the XLA formulation (plain
+    autodiff). See engine.compute.
     """
     return _run_metric(a, b, impl, data_range, with_map=False,
-                       relaxed=_relaxed(accuracy))
+                       relaxed=_relaxed(accuracy), radius=radius,
+                       sigma=sigma, k1=k1, k2=k2)
 
 
 def _relaxed(accuracy: str) -> bool:
@@ -279,22 +314,36 @@ def _relaxed(accuracy: str) -> bool:
     return accuracy == "relaxed"
 
 
-@functools.partial(jax.jit, static_argnames=("data_range", "impl", "accuracy"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "data_range", "impl", "accuracy", "radius", "sigma", "k1", "k2",
+    ),
+)
 def ssim_and_map(
     a, b, *, data_range: float = 255.0, impl: str = "auto",
-    accuracy: str = "standard",
+    accuracy: str = "standard", radius: int = 5, sigma: float = 1.5,
+    k1: float = 0.01, k2: float = 0.03,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Jittable (global_ssim, per-pixel map). Differentiable like ssim():
     for f32 inputs both the score and the per-pixel map cotangents route
-    through the fused analytic backward kernel (its g_map input)."""
+    through the fused analytic backward kernel (its g_map input).
+    radius/sigma/k1/k2 as in ssim()."""
     return _run_metric(a, b, impl, data_range, with_map=True,
-                       relaxed=_relaxed(accuracy))
+                       relaxed=_relaxed(accuracy), radius=radius,
+                       sigma=sigma, k1=k1, k2=k2)
 
 
-@functools.partial(jax.jit, static_argnames=("data_range", "impl", "accuracy"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "data_range", "impl", "accuracy", "radius", "sigma", "k1", "k2",
+    ),
+)
 def ssim_loss(
     a, b, *, data_range: float = 1.0, impl: str = "auto",
-    accuracy: str = "standard",
+    accuracy: str = "standard", radius: int = 5, sigma: float = 1.5,
+    k1: float = 0.01, k2: float = 0.03,
 ) -> jnp.ndarray:
     """Differentiable perceptual loss: 1 - mean SSIM over the batch.
 
@@ -309,5 +358,6 @@ def ssim_loss(
     the XLA path throughout.
     """
     score = _run_metric(a, b, impl, data_range, with_map=False,
-                        relaxed=_relaxed(accuracy))
+                        relaxed=_relaxed(accuracy), radius=radius,
+                        sigma=sigma, k1=k1, k2=k2)
     return 1.0 - jnp.mean(score)

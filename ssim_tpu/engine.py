@@ -49,6 +49,29 @@ def validate_pair(a: np.ndarray, b: np.ndarray) -> None:
             raise InvalidArgumentError(f"unsupported dtype {x.dtype}")
 
 
+def validate_window(radius, sigma, k1, k2) -> None:
+    """Validate the custom-window extension parameters (defaults are the
+    reference contract: radius 5, sigma 1.5, k1 0.01, k2 0.03 —
+    src/ssim.cpp:227-228, :956-960)."""
+    if isinstance(radius, bool) or not isinstance(radius, (int, np.integer)):
+        raise InvalidArgumentError(f"radius must be an int >= 1, got {radius!r}")
+    if radius < 1:
+        raise InvalidArgumentError(f"radius must be >= 1, got {radius}")
+    if not (float(sigma) > 0.0 and np.isfinite(float(sigma))):
+        raise InvalidArgumentError(f"sigma must be finite and > 0, got {sigma!r}")
+    for name, v in (("k1", k1), ("k2", k2)):
+        if not (float(v) > 0.0 and np.isfinite(float(v))):
+            raise InvalidArgumentError(f"{name} must be finite and > 0, got {v!r}")
+
+
+def window_is_default(radius, sigma, k1, k2) -> bool:
+    from .windows import RADIUS, SIGMA
+
+    return (
+        radius == RADIUS and sigma == SIGMA and k1 == 0.01 and k2 == 0.03
+    )
+
+
 def finalize_mean(partials: np.ndarray, npix: int) -> np.ndarray:
     """f64 host reduction of f32 partial sums -> global SSIM.
 
@@ -119,6 +142,10 @@ def compute(
     precision: Optional[str] = None,
     downsample=None,
     accuracy: Optional[str] = None,
+    radius: int = 5,
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Run SSIM end-to-end on host arrays.
 
@@ -142,6 +169,13 @@ def compute(
     decimate prefilter (extension). The score and map then describe the
     pooled image (map is (H//k, W//k)); pooled pixels are float, so the
     computation rides the float path at full kernel speed.
+    radius/sigma/k1/k2 (extension; defaults = the reference contract,
+    src/ssim.cpp:227-228 and :956-960): the Gaussian window's radius and
+    spread and the stabilization constants, skimage/torchmetrics-style.
+    sigma/k1/k2 ride every device path (trace-time taps/constants); a
+    non-default radius routes to the XLA path (the fused kernel's halo
+    geometry is radius-5) or, with precision="f64", the f64 oracle.
+    Unsupported with impl="host" (the C backend pins the contract window).
     Returns (global_ssim float64 scalar or (B,), map f32 or None).
     """
     from .config import get_config
@@ -154,6 +188,9 @@ def compute(
     a = np.asarray(a)
     b = np.asarray(b)
     validate_pair(a, b)
+    validate_window(radius, sigma, k1, k2)
+    radius = int(radius)
+    default_window = window_is_default(radius, sigma, k1, k2)
     downsample = resolve_downsample(downsample, a.shape[-2], a.shape[-1])
     if precision not in ("f32", "f64"):
         raise InvalidArgumentError(f"precision must be f32 or f64, got {precision!r}")
@@ -169,10 +206,17 @@ def compute(
             'accuracy="relaxed" contradicts precision="f64" — pick one tier'
         )
     impl = select_impl(impl)
+    if impl == Implementation.HOST and not default_window:
+        raise InvalidArgumentError(
+            "custom radius/sigma/k1/k2 are unsupported with impl='host' "
+            "(the C backend pins the reference window) — use "
+            "impl='auto'/'pallas'/'xla'"
+        )
     precise = precision == "f64"
     if precise and not (
         impl == Implementation.PALLAS
         and downsample == 1
+        and radius == 5
         and a.dtype == np.uint8
         and b.dtype == np.uint8
     ):
@@ -210,12 +254,16 @@ def compute(
     if impl == Implementation.REFERENCE:
         from . import reference
 
+        ref_kw = dict(
+            with_map=with_map, data_range=data_range, radius=radius,
+            sigma=sigma, k1=k1, k2=k2,
+        )
         if a.ndim == 2:
-            g, m = reference.compute_ssim(a, b, with_map=with_map, data_range=data_range)
+            g, m = reference.compute_ssim(a, b, **ref_kw)
             return np.float64(g), (None if m is None else m.astype(np.float32))
         gs, ms = [], []
         for i in range(a.shape[0]):
-            g, m = reference.compute_ssim(a[i], b[i], with_map=with_map, data_range=data_range)
+            g, m = reference.compute_ssim(a[i], b[i], **ref_kw)
             gs.append(g)
             ms.append(m)
         return (
@@ -247,6 +295,10 @@ def compute(
             interpret=backend_platform() != "tpu",
             precise=precise,
             relaxed=relaxed,
+            radius=radius,
+            sigma=sigma,
+            k1=k1,
+            k2=k2,
             **tile_kwargs,
         )
     else:
@@ -258,7 +310,10 @@ def compute(
         # rebuild for those, README.md:107-111).
         from .ops.ssim_xla import ssim_parts_xla
 
-        partials, ssim_map = ssim_parts_xla(a, b, with_map=with_map, data_range=data_range)
+        partials, ssim_map = ssim_parts_xla(
+            a, b, with_map=with_map, data_range=data_range,
+            radius=radius, sigma=sigma, k1=k1, k2=k2,
+        )
 
     global_ssim = finalize_mean(np.asarray(partials), h * w)
     return global_ssim, (None if ssim_map is None else np.asarray(ssim_map))

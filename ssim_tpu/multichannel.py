@@ -45,13 +45,18 @@ def compute_ssim_channels(
     data_range: float = 255.0,
     downsample=None,
     accuracy=None,
+    radius: int = 5,
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
 ) -> ChannelResult:
     """Multi-channel SSIM with the reference CLI's channel policy.
 
     downsample: None / "auto" / int k — the Wang box-mean prefilter
     extension (see engine.compute); applied per channel after the
     channel policy, so -y pools the luminance plane.
-    accuracy: None/"standard" or "relaxed" (see engine.compute)."""
+    accuracy: None/"standard" or "relaxed" (see engine.compute).
+    radius/sigma/k1/k2: the custom-window extension (see engine.compute)."""
     a = np.asarray(a)
     b = np.asarray(b)
     if a.shape != b.shape:
@@ -79,7 +84,8 @@ def compute_ssim_channels(
 
     scores, maps = engine.compute(
         a_stack, b_stack, with_map=with_map, impl=impl, data_range=data_range,
-        downsample=downsample, accuracy=accuracy,
+        downsample=downsample, accuracy=accuracy, radius=radius, sigma=sigma,
+        k1=k1, k2=k2,
     )
     scores = np.atleast_1d(np.asarray(scores, dtype=np.float64))
     per_channel = [float(s) for s in scores]

@@ -41,6 +41,10 @@ def ssim_parts_auto(
     interpret: bool = False,
     precise: bool = False,
     relaxed: bool = False,
+    radius: int = 5,
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
     **tile_kwargs,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Fused kernel when the dtype allows it, XLA otherwise.
@@ -50,13 +54,21 @@ def ssim_parts_auto(
     is an accuracy hint for the fused kernel only — the XLA fallback
     computes at standard accuracy regardless. The lane-packed path
     honors it too (its packed rows are wide even when the images are
-    small)."""
+    small).
+
+    radius/sigma/k1/k2 generalize the window (extension): a non-default
+    radius routes to the XLA path (the fused kernel's halo geometry is
+    radius-5); sigma/k1/k2 ride the fused kernel (trace-time taps and
+    constants), except the lane-packed fast path, which stays pinned to
+    the default window."""
     from .ssim_pallas import (
         pack_preferred,
         ssim_parts_pallas,
         ssim_parts_pallas_packed,
     )
     from .ssim_xla import ssim_parts_xla
+
+    window_default = sigma == 1.5 and k1 == 0.01 and k2 == 0.03
 
     def pack_routable(itemsize: int) -> bool:
         # One gate for u8 and float batches: the lane-packed path has no
@@ -66,12 +78,18 @@ def ssim_parts_auto(
             not with_map
             and not precise
             and not tile_kwargs
+            and window_default
             and a.ndim == 3
             and data_range >= 1e-6
             and pack_preferred(a.shape[-1], a.shape[0], itemsize=itemsize)
             and a.shape[-2] * a.shape[-1] < 1 << 24
         )
 
+    if radius != 5:
+        return ssim_parts_xla(
+            a, b, with_map=with_map, data_range=data_range,
+            radius=radius, sigma=sigma, k1=k1, k2=k2,
+        )
     if a.dtype == jnp.uint8 and b.dtype == jnp.uint8:
         if pack_routable(itemsize=1):
             # Batched small images: the lane-packed path (measured on
@@ -84,7 +102,7 @@ def ssim_parts_auto(
         return ssim_parts_pallas(
             a, b, with_map=with_map, data_range=data_range,
             interpret=interpret, precise=precise, relaxed=relaxed,
-            **tile_kwargs,
+            sigma=sigma, k1=k1, k2=k2, **tile_kwargs,
         )
     if a.dtype == b.dtype and _is_float_routable(a.dtype):
         af = a.astype(jnp.float32)
@@ -100,9 +118,12 @@ def ssim_parts_auto(
             af, bf,
             with_map=with_map, data_range=data_range,
             interpret=interpret, precise=precise, allow_float=True,
-            relaxed=relaxed, **tile_kwargs,
+            relaxed=relaxed, sigma=sigma, k1=k1, k2=k2, **tile_kwargs,
         )
-    return ssim_parts_xla(a, b, with_map=with_map, data_range=data_range)
+    return ssim_parts_xla(
+        a, b, with_map=with_map, data_range=data_range,
+        radius=radius, sigma=sigma, k1=k1, k2=k2,
+    )
 
 
 def pallas_routable(a, b) -> bool:

@@ -420,7 +420,10 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("data_range", "interpret", "tile_h", "relaxed")
+    jax.jit,
+    static_argnames=(
+        "data_range", "interpret", "tile_h", "relaxed", "sigma", "k1", "k2",
+    ),
 )
 def ssim_grad_pallas(
     a: jnp.ndarray,
@@ -433,6 +436,9 @@ def ssim_grad_pallas(
     interpret: bool = False,
     tile_h: Optional[int] = None,
     relaxed: bool = False,
+    sigma: float = SIGMA,
+    k1: float = 0.01,
+    k2: float = 0.03,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused-kernel SSIM gradients: (dL/da, dL/db) for
     L = sum_p (w_s + g_map(p)) * SSIM(p) + w_cs * sum_p cs(p), per image.
@@ -476,9 +482,13 @@ def ssim_grad_pallas(
         ],
         axis=-1,
     )
-    taps = gaussian_taps(np.float32, RADIUS, SIGMA)
-    c1 = float((0.01 * data_range) ** 2)
-    c2 = float((0.03 * data_range) ** 2)
+    # sigma/k1/k2 generalize the window spread and stabilization constants
+    # (matching the forward extension); the kernel's halo geometry pins
+    # only the radius. Tap VALUES flow into the trace-time band matrices
+    # and the c1/c2 scalars, so no structural change.
+    taps = gaussian_taps(np.float32, RADIUS, sigma)
+    c1 = float((k1 * data_range) ** 2)
+    c2 = float((k2 * data_range) ** 2)
     clip_bound = max(131072.0, 4.0 * float(data_range))
     if g_map is not None:
         g_map = g_map.astype(jnp.float32)

@@ -1016,6 +1016,7 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
     static_argnames=(
         "with_map", "radius", "sigma", "data_range", "interpret",
         "max_tile_h", "max_tile_w", "precise", "allow_float", "relaxed",
+        "k1", "k2",
     ),
 )
 def ssim_parts_pallas(
@@ -1032,9 +1033,15 @@ def ssim_parts_pallas(
     precise: bool = False,
     allow_float: bool = False,
     relaxed: bool = False,
+    k1: float = 0.01,
+    k2: float = 0.03,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Fused-kernel SSIM. a, b: (H, W) or (B, H, W), uint8 (or, with
     allow_float=True, float32 in [0, data_range]).
+
+    sigma/k1/k2 generalize the window spread and stabilization constants
+    (extension; only radius is pinned — the kernel's halo geometry is
+    specialized to radius 5 like the reference's fast paths).
 
     max_tile_h=None (default) picks the tile height adaptively
     (_pick_tile_h: large images keep the classic 32-row tiles; small
@@ -1110,8 +1117,16 @@ def ssim_parts_pallas(
         b = b.astype(jnp.uint8)
 
     taps = gaussian_taps(np.float32, radius, sigma)
-    c1 = float((0.01 * data_range) ** 2)
-    c2 = float((0.03 * data_range) ** 2)
+    c1 = float((k1 * data_range) ** 2)
+    c2 = float((k2 * data_range) ** 2)
+    if c1 * c2 < 9e-32:
+        # Same degeneracy as the data_range guard above, reachable via
+        # tiny custom k1/k2: c1*c2 must stay a normal f32 (TPUs flush
+        # subnormals) for the ragged-tile garbage-rows-equal-1.0 identity.
+        raise ValueError(
+            f"k1/k2 too small for data_range {data_range}: c1*c2 = "
+            f"{c1 * c2:g} degenerates in f32 (needs >= 9e-32)"
+        )
 
     # Images up to one tile wide take the zero-copy fast path (raw inputs,
     # per-tile clamp-folded band matrices); wider images use the padded

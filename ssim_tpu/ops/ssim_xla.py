@@ -75,6 +75,8 @@ def ssim_from_padded(
     sigma: float = SIGMA,
     data_range: float = 255.0,
     dtype: jnp.dtype = jnp.float32,
+    k1: float = 0.01,
+    k2: float = 0.03,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """SSIM core over already edge-padded float inputs (..., H+2r, W+2r).
 
@@ -83,8 +85,8 @@ def ssim_from_padded(
     (row_sums (..., H) f32, map (..., H, W) or None).
     """
     taps = gaussian_taps(np.dtype(dtype), radius, sigma)
-    c1 = dtype((0.01 * data_range) ** 2)
-    c2 = dtype((0.03 * data_range) ** 2)
+    c1 = dtype((k1 * data_range) ** 2)
+    c2 = dtype((k2 * data_range) ** 2)
 
     # Five separate blurs, one per windowed signal. This used to be one
     # stacked (5, ..., H, W) blur "so the compiler sees a single big
@@ -116,7 +118,9 @@ def ssim_from_padded(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("with_map", "radius", "sigma", "data_range", "dtype"),
+    static_argnames=(
+        "with_map", "radius", "sigma", "data_range", "dtype", "k1", "k2",
+    ),
 )
 def ssim_parts_xla(
     a: jnp.ndarray,
@@ -127,6 +131,8 @@ def ssim_parts_xla(
     sigma: float = SIGMA,
     data_range: float = 255.0,
     dtype: jnp.dtype = jnp.float32,
+    k1: float = 0.01,
+    k2: float = 0.03,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Core jittable SSIM computation.
 
@@ -141,5 +147,5 @@ def ssim_parts_xla(
     bp = _pad_edge(b, radius)
     return ssim_from_padded(
         ap, bp, with_map=with_map, radius=radius, sigma=sigma,
-        data_range=data_range, dtype=dtype,
+        data_range=data_range, dtype=dtype, k1=k1, k2=k2,
     )

@@ -49,11 +49,17 @@ def compute_ssim(
     radius: int = RADIUS,
     sigma: float = SIGMA,
     data_range: float = 255.0,
+    k1: float = 0.01,
+    k2: float = 0.03,
 ) -> Tuple[float, Optional[np.ndarray]]:
     """Oracle SSIM of two single-channel images.
 
     a, b: (H, W) arrays; uint8 or float. Returns (global_ssim, map or None);
     the map has dtype `dtype`, the global score is float64.
+
+    radius/sigma/k1/k2 generalize the window and stabilization constants
+    (extension; defaults are the reference contract, src/ssim.cpp:227-228
+    and :956-960).
     """
     a = np.asarray(a)
     b = np.asarray(b)
@@ -67,8 +73,8 @@ def compute_ssim(
     sigma_a2 = _blur_separable(af * af, t, radius) - mu_a * mu_a
     sigma_b2 = _blur_separable(bf * bf, t, radius) - mu_b * mu_b
     sigma_ab = _blur_separable(af * bf, t, radius) - mu_a * mu_b
-    c1 = dtype((0.01 * data_range) ** 2)
-    c2 = dtype((0.03 * data_range) ** 2)
+    c1 = dtype((k1 * data_range) ** 2)
+    c2 = dtype((k2 * data_range) ** 2)
     num = (2.0 * mu_a * mu_b + c1) * (2.0 * sigma_ab + c2)
     den = (mu_a * mu_a + mu_b * mu_b + c1) * (sigma_a2 + sigma_b2 + c2)
     ssim_map = num / den

@@ -1,0 +1,273 @@
+"""Custom window extension: radius/sigma/k1/k2 through the public API.
+
+The reference pins the window (11x11 sigma=1.5, src/ssim.cpp:227-228) and
+the stabilization constants (k1=0.01, k2=0.03, :956-960); exposing them is
+an extension matching the skimage/torchmetrics SSIM surface (win_size,
+sigma, K1, K2). Ground truth here is a DIRECT O(r^2) windowed-gather SSIM
+written against the formula (independent of reference.py's separable
+formulation), so the oracle's generalization is itself validated.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import random_pair
+from ssim_tpu import compute_ssim, reference
+from ssim_tpu.api import ssim, ssim_and_map, ssim_loss
+from ssim_tpu.errors import InvalidArgumentError
+
+
+def naive_ssim_direct(a, b, *, radius, sigma, k1=0.01, k2=0.03,
+                      data_range=255.0):
+    """Direct per-pixel windowed SSIM: 2-D sampled-Gaussian window
+    normalized over the FULL table (the reference's construction,
+    src/ssim.cpp:272-318), clamp-to-edge gathers, all float64."""
+    h, w = a.shape
+    d = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-(d[:, None] ** 2 + d[None, :] ** 2) / (2.0 * sigma**2))
+    k /= k.sum()
+    af = a.astype(np.float64)
+    bf = b.astype(np.float64)
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    out = np.empty((h, w), np.float64)
+    ys = np.arange(h)
+    xs = np.arange(w)
+    for y in range(h):
+        yy = np.clip(y + d.astype(int), 0, h - 1)
+        for x in range(w):
+            xx = np.clip(x + d.astype(int), 0, w - 1)
+            wa = af[np.ix_(yy, xx)]
+            wb = bf[np.ix_(yy, xx)]
+            mu_a = (k * wa).sum()
+            mu_b = (k * wb).sum()
+            s_a2 = (k * wa * wa).sum() - mu_a * mu_a
+            s_b2 = (k * wb * wb).sum() - mu_b * mu_b
+            s_ab = (k * wa * wb).sum() - mu_a * mu_b
+            out[y, x] = ((2 * mu_a * mu_b + c1) * (2 * s_ab + c2)) / (
+                (mu_a**2 + mu_b**2 + c1) * (s_a2 + s_b2 + c2)
+            )
+    assert len(ys) == h and len(xs) == w
+    return out.mean(), out
+
+
+@pytest.mark.parametrize(
+    "radius,sigma,k1,k2",
+    [(3, 1.2, 0.01, 0.03), (1, 0.8, 0.02, 0.05), (7, 2.5, 0.01, 0.03)],
+)
+def test_oracle_generalizes(rng, radius, sigma, k1, k2):
+    """reference.compute_ssim's radius/sigma/k1/k2 agree with the direct
+    O(r^2) formula to f64 precision."""
+    a, b = random_pair(rng, 24, 20)
+    want, want_map = naive_ssim_direct(
+        a, b, radius=radius, sigma=sigma, k1=k1, k2=k2
+    )
+    got, got_map = reference.compute_ssim(
+        a, b, with_map=True, radius=radius, sigma=sigma, k1=k1, k2=k2
+    )
+    assert got == pytest.approx(want, abs=1e-12)
+    np.testing.assert_allclose(got_map, want_map, atol=1e-12)
+
+
+@pytest.mark.parametrize("radius,sigma", [(1, 0.8), (2, 1.0), (7, 2.5)])
+def test_xla_custom_radius_matches_oracle(rng, radius, sigma):
+    a, b = random_pair(rng, 40, 56)
+    want, _ = reference.compute_ssim(a, b, radius=radius, sigma=sigma)
+    got = compute_ssim(a, b, impl="xla", radius=radius, sigma=sigma)
+    assert got == pytest.approx(want, abs=2e-6)
+
+
+def test_pallas_custom_radius_falls_back_to_xla(rng):
+    """impl='pallas' + non-default radius silently rides the XLA path
+    (same convention as the dtype fallback) and stays correct."""
+    a, b = random_pair(rng, 33, 47)
+    want, _ = reference.compute_ssim(a, b, radius=3, sigma=1.5)
+    got = compute_ssim(a, b, impl="pallas", radius=3)
+    assert got == pytest.approx(want, abs=2e-6)
+
+
+@pytest.mark.parametrize("h,w", [(40, 56), (64, 200)])
+def test_pallas_custom_sigma_k1_k2(rng, h, w):
+    """sigma/k1/k2 ride the fused kernel (interpret mode on CPU), score
+    and map."""
+    a, b = random_pair(rng, h, w)
+    want, want_map = reference.compute_ssim(
+        a, b, with_map=True, sigma=2.0, k1=0.02, k2=0.05
+    )
+    got, got_map = compute_ssim(
+        a, b, with_map=True, impl="pallas", sigma=2.0, k1=0.02, k2=0.05
+    )
+    assert got == pytest.approx(want, abs=2e-6)
+    np.testing.assert_allclose(got_map, want_map, atol=1e-3)
+
+
+def test_default_kwargs_are_identity(rng):
+    a, b = random_pair(rng, 31, 45)
+    assert compute_ssim(a, b) == compute_ssim(
+        a, b, radius=5, sigma=1.5, k1=0.01, k2=0.03
+    )
+
+
+def test_precise_custom_radius_uses_oracle(rng):
+    a, b = random_pair(rng, 20, 24)
+    want, _ = reference.compute_ssim(a, b, radius=3)
+    got = compute_ssim(a, b, precision="f64", radius=3)
+    assert got == pytest.approx(want, abs=1e-13)
+
+
+def test_precise_custom_sigma_stays_df32(rng):
+    """precision='f64' with custom sigma/k1/k2 keeps the compensated
+    kernel path (u8 + radius 5) and lands inside the df32 error tier."""
+    a, b = random_pair(rng, 40, 48)
+    want, _ = reference.compute_ssim(a, b, sigma=2.0, k1=0.02, k2=0.05)
+    got = compute_ssim(
+        a, b, impl="pallas", precision="f64", sigma=2.0, k1=0.02, k2=0.05
+    )
+    assert got == pytest.approx(want, abs=1e-8)
+
+
+def test_downsample_composes_with_custom_window(rng):
+    """The Wang prefilter pools first, then the custom window applies to
+    the pooled image."""
+    a, b = random_pair(rng, 64, 64)
+    from ssim_tpu.engine import box_decimate
+
+    want, _ = reference.compute_ssim(
+        box_decimate(a, 2), box_decimate(b, 2), sigma=2.0
+    )
+    got = compute_ssim(a, b, downsample=2, sigma=2.0)
+    assert got == pytest.approx(want, abs=2e-6)
+
+
+def test_channels_custom_window(rng):
+    from ssim_tpu.multichannel import compute_ssim_channels
+
+    a = np.stack([random_pair(rng, 24, 28)[0] for _ in range(3)], axis=-1)
+    b = np.clip(a.astype(np.int32) + 5, 0, 255).astype(np.uint8)
+    res = compute_ssim_channels(a, b, sigma=2.0, k1=0.02)
+    want = np.mean(
+        [
+            reference.compute_ssim(a[..., c], b[..., c], sigma=2.0, k1=0.02)[0]
+            for c in range(3)
+        ]
+    )
+    assert res.average == pytest.approx(want, abs=2e-6)
+
+
+def test_host_rejects_custom_window(rng):
+    from ssim_tpu.ops import host
+
+    if not host.is_available():
+        pytest.skip("native backend unavailable")
+    a, b = random_pair(rng, 24, 24)
+    with pytest.raises(InvalidArgumentError):
+        compute_ssim(a, b, impl="host", sigma=2.0)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(radius=0),
+        dict(radius=2.5),
+        dict(radius=True),
+        dict(sigma=0.0),
+        dict(sigma=-1.0),
+        dict(sigma=float("nan")),
+        dict(k1=0.0),
+        dict(k2=-0.03),
+    ],
+)
+def test_invalid_window_params_raise(rng, kw):
+    a, b = random_pair(rng, 16, 16)
+    with pytest.raises(InvalidArgumentError):
+        compute_ssim(a, b, **kw)
+    import jax.numpy as jnp
+
+    with pytest.raises(InvalidArgumentError):
+        ssim(jnp.asarray(a), jnp.asarray(b), **kw)
+
+
+def test_tiny_k1_k2_degenerate_on_kernel_raises(rng):
+    """The fused kernel refuses k1/k2 that push c1*c2 below normal f32
+    (same degeneracy class as its data_range floor)."""
+    a, b = random_pair(rng, 16, 16)
+    with pytest.raises(ValueError):
+        compute_ssim(a, b, impl="pallas", k1=1e-18, k2=1e-18)
+
+
+def test_jittable_matches_eager_custom_window(rng):
+    import jax.numpy as jnp
+
+    a, b = random_pair(rng, 40, 48)
+    want = compute_ssim(a, b, sigma=2.0, k1=0.02, k2=0.05)
+    got = float(ssim(jnp.asarray(a), jnp.asarray(b), sigma=2.0, k1=0.02, k2=0.05))
+    assert got == pytest.approx(want, abs=2e-6)
+    got_r = float(ssim(jnp.asarray(a), jnp.asarray(b), radius=3))
+    want_r = compute_ssim(a, b, radius=3)
+    assert got_r == pytest.approx(want_r, abs=2e-6)
+
+
+def test_fused_backward_custom_sigma_k_matches_xla_vjp(rng):
+    """jax.grad of ssim_loss with custom sigma/k1/k2: the fused analytic
+    backward kernel (sigma-generalized taps, custom c1/c2) vs the XLA
+    formulation's autodiff."""
+    import jax
+    import jax.numpy as jnp
+
+    a8, b8 = random_pair(rng, 24, 40)
+    a = jnp.asarray(a8, jnp.float32) / 255.0
+    b = jnp.asarray(b8, jnp.float32) / 255.0
+
+    kw = dict(data_range=1.0, sigma=2.0, k1=0.02, k2=0.05)
+    gp_a, gp_b = jax.grad(
+        lambda x, y: ssim_loss(x, y, impl="pallas", **kw), argnums=(0, 1)
+    )(a, b)
+    gx_a, gx_b = jax.grad(
+        lambda x, y: ssim_loss(x, y, impl="xla", **kw), argnums=(0, 1)
+    )(a, b)
+    np.testing.assert_allclose(np.asarray(gp_a), np.asarray(gx_a), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gp_b), np.asarray(gx_b), atol=2e-5)
+
+
+def test_map_cotangent_custom_window(rng):
+    """ssim_and_map's per-pixel map cotangent routes through the fused
+    backward with the custom window too."""
+    import jax
+    import jax.numpy as jnp
+
+    a8, b8 = random_pair(rng, 20, 28)
+    a = jnp.asarray(a8, jnp.float32)
+    b = jnp.asarray(b8, jnp.float32)
+    kw = dict(sigma=1.8, k2=0.04)
+
+    def loss(impl):
+        def f(x):
+            s, m = ssim_and_map(x, b, impl=impl, **kw)
+            return s + jnp.sum(m * m)
+
+        return f
+
+    gp = jax.grad(loss("pallas"))(a)
+    gx = jax.grad(loss("xla"))(a)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=2e-4)
+
+
+def test_custom_radius_grad_via_xla(rng):
+    """Non-default radius: ordinary autodiff through the XLA formulation
+    still yields gradients (finite-difference spot check)."""
+    import jax
+    import jax.numpy as jnp
+
+    a8, b8 = random_pair(rng, 16, 18)
+    a = jnp.asarray(a8, jnp.float32)
+    b = jnp.asarray(b8, jnp.float32)
+    f = lambda x: ssim_loss(x, b, data_range=255.0, radius=2)
+    g = np.asarray(jax.grad(f)(a))
+    eps = 0.1
+    y, x = 7, 9
+    ap = np.asarray(a).copy()
+    ap[y, x] += eps
+    am = np.asarray(a).copy()
+    am[y, x] -= eps
+    fd = (float(f(jnp.asarray(ap))) - float(f(jnp.asarray(am)))) / (2 * eps)
+    assert g[y, x] == pytest.approx(fd, rel=2e-2, abs=1e-6)
