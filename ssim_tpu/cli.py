@@ -37,7 +37,10 @@ def print_help(file=sys.stdout):
         "  --dir  Treat the two paths as DIRECTORIES: batch-evaluate every\n"
         "      same-named image (streaming decode-ahead loader, one\n"
         "      'name: score' line each; -y/-# pick the channel policy)\n"
-        "  --batch=N  Batch size for --dir (default 8)\n\n"
+        "  --batch=N  Batch size for --dir (default 8)\n"
+        "  --radius=R --sigma=S --k1=V --k2=V  Custom Gaussian window and\n"
+        "      stabilization constants (defaults 5/1.5/0.01/0.03 = the\n"
+        "      reference contract; skimage-style extension)\n\n"
     )
 
 
@@ -56,6 +59,7 @@ def main(argv=None) -> int:
     accuracy = None
     dir_mode = False
     batch_size = 8
+    window = {}  # radius/sigma/k1/k2 overrides
 
     while argv and argv[0].startswith("-"):
         opt = argv.pop(0)
@@ -88,6 +92,13 @@ def main(argv=None) -> int:
             downsample = val
         elif opt == "--relaxed":
             accuracy = "relaxed"
+        elif opt.startswith(("--radius=", "--sigma=", "--k1=", "--k2=")):
+            name, val = opt[2:].split("=", 1)
+            try:
+                window[name] = int(val) if name == "radius" else float(val)
+            except ValueError:
+                sys.stderr.write(f"Bad --{name} value: {val}\n")
+                return 1
         else:
             sys.stderr.write(f"Unknown option: {opt}\n")
             return 1
@@ -100,7 +111,7 @@ def main(argv=None) -> int:
         if len(argv) != 2:
             sys.stderr.write("--dir takes exactly two directories\n")
             return 1
-        if multiscale or downsample is not None or accuracy is not None:
+        if multiscale or downsample is not None or accuracy is not None or window:
             sys.stderr.write(
                 "--dir supports only -y/-#/--impl/--batch options\n"
             )
@@ -173,6 +184,13 @@ def main(argv=None) -> int:
             # would misreport what was computed.
             sys.stderr.write("--downsample cannot be combined with --ms\n")
             return 1
+        if window:
+            # The MS-SSIM recipe pins the canonical window (Wang 2003);
+            # silently ignoring the flags would misreport the metric.
+            sys.stderr.write(
+                "--radius/--sigma/--k1/--k2 cannot be combined with --ms\n"
+            )
+            return 1
         try:
             if img1.ndim == 3 and (luminance or only_channel < 0):
                 m1, m2 = luminance_bt601(img1), luminance_bt601(img2)
@@ -197,6 +215,7 @@ def main(argv=None) -> int:
             impl=impl,
             downsample=downsample,
             accuracy=accuracy,
+            **window,
         )
     except Exception as e:
         sys.stderr.write(f"{e}\n")

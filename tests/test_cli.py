@@ -214,3 +214,35 @@ def test_cli_dir_mode(tmp_path, rng, capsys):
     empty.mkdir()
     assert cli.main(["--dir", str(da), str(empty)]) == 1
     assert "no same-named" in capsys.readouterr().err
+
+
+def test_window_flags(image_pair, capsys):
+    """--radius/--sigma/--k1/--k2 thread through to the engine."""
+    a, b, pa, pb = image_pair
+    assert cli.main(
+        ["-0", "--impl=xla", "--radius=3", "--sigma=2.0", "--k1=0.02",
+         "--k2=0.05", pa, pb]
+    ) == 0
+    out = capsys.readouterr().out.strip()
+    want = compute_ssim(
+        a[:, :, 0], b[:, :, 0], impl="xla", radius=3, sigma=2.0,
+        k1=0.02, k2=0.05,
+    )
+    assert float(out) == pytest.approx(want, abs=5e-5)
+
+
+def test_window_flags_bad_value(image_pair, capsys):
+    _, _, pa, pb = image_pair
+    assert cli.main(["--sigma=abc", pa, pb]) == 1
+    assert "Bad --sigma value" in capsys.readouterr().err
+
+
+def test_window_flags_invalid_param(image_pair, capsys):
+    _, _, pa, pb = image_pair
+    assert cli.main(["--radius=0", pa, pb]) == 1  # engine validation
+
+
+def test_window_flags_reject_ms(image_pair, capsys):
+    _, _, pa, pb = image_pair
+    assert cli.main(["--ms", "--sigma=2.0", pa, pb]) == 1
+    assert "--ms" in capsys.readouterr().err
