@@ -86,6 +86,15 @@ def ssim_parts_auto(
         )
 
     if radius != 5:
+        if precise:
+            # The engine routes precise + custom radius to the f64 oracle
+            # before reaching here; a direct caller would otherwise get a
+            # silently non-compensated XLA result.
+            raise ValueError(
+                "precise=True with a non-default radius is not available "
+                "on device paths — use the f64 oracle "
+                "(engine.compute(precision='f64', radius=...))"
+            )
         return ssim_parts_xla(
             a, b, with_map=with_map, data_range=data_range,
             radius=radius, sigma=sigma, k1=k1, k2=k2,

@@ -19,10 +19,13 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..dispatch import Implementation, backend_platform, select_impl
 
 
-def _parts_fn(impl):
+def _parts_fn(impl, window=None):
     """Resolve the per-shard compute path. Defaults to the fused Pallas
-    kernel on TPU and the XLA path elsewhere."""
+    kernel on TPU and the XLA path elsewhere. window: optional dict of
+    radius/sigma/k1/k2 overrides (the custom-window extension; routing
+    sends a non-default radius to the XLA path)."""
     impl = select_impl(impl)
+    window = window or {}
     if impl == Implementation.PALLAS:
         from ..ops.routing import ssim_parts_auto
 
@@ -33,14 +36,16 @@ def _parts_fn(impl):
             # fused kernel, anything else XLA — never wrap modulo 256.
             return ssim_parts_auto(
                 a, b, with_map=with_map, data_range=data_range,
-                interpret=interpret,
+                interpret=interpret, **window,
             )
 
         return parts
     from ..ops.ssim_xla import ssim_parts_xla
 
     def parts(a, b, with_map, data_range):
-        return ssim_parts_xla(a, b, with_map=with_map, data_range=data_range)
+        return ssim_parts_xla(
+            a, b, with_map=with_map, data_range=data_range, **window
+        )
 
     return parts
 
@@ -54,6 +59,10 @@ def ssim_batch_sharded(
     with_map: bool = False,
     data_range: float = 255.0,
     impl="auto",
+    radius: int = 5,
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Per-image SSIM over a sharded batch.
 
@@ -62,8 +71,14 @@ def ssim_batch_sharded(
     both sharded over the batch axis — maps never leave their device,
     like the reference's tile-local map writes (src/ssim.cpp:659-668).
     Finalize with engine.finalize_mean(partials, H*W).
+    radius/sigma/k1/k2: the custom-window extension (see engine.compute).
     """
-    parts = _parts_fn(impl)
+    from ..engine import validate_window
+
+    validate_window(radius, sigma, k1, k2)
+    parts = _parts_fn(
+        impl, dict(radius=int(radius), sigma=sigma, k1=k1, k2=k2)
+    )
 
     @functools.partial(
         jax.shard_map,
@@ -90,14 +105,23 @@ def mean_ssim_sharded(
     axis: str = "data",
     data_range: float = 255.0,
     impl="auto",
+    radius: int = 5,
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
 ) -> jnp.ndarray:
     """Mean SSIM over a sharded batch, reduced with psum over ICI —
     the distributed equivalent of the reference's final serial reduce
-    (src/ssim.cpp:1098-1099). Returns a replicated f32 scalar."""
+    (src/ssim.cpp:1098-1099). Returns a replicated f32 scalar.
+    radius/sigma/k1/k2: the custom-window extension (see engine.compute)."""
+    from ..engine import validate_window
 
+    validate_window(radius, sigma, k1, k2)
     n = a.shape[-1] * a.shape[-2]
     batch = a.shape[0]
-    parts = _parts_fn(impl)
+    parts = _parts_fn(
+        impl, dict(radius=int(radius), sigma=sigma, k1=k1, k2=k2)
+    )
 
     @functools.partial(
         jax.shard_map,

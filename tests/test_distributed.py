@@ -356,3 +356,22 @@ def test_mean_ssim_spatial_batched_2d_mesh(rng):
 
     with pytest.raises(ValueError, match="batch_axis"):
         mean_ssim_spatial(a[0], b[0], mesh, axis="space", batch_axis="data")
+
+
+def test_mean_ssim_sharded_custom_window(rng, mesh8):
+    """The custom-window extension rides the batch-DP layer: sigma/k1/k2
+    through the fused kernel per shard, custom radius through the XLA
+    path per shard; both must match the unsharded engine."""
+    pairs = [random_pair(rng, 48, 64) for _ in range(8)]
+    a = np.stack([p[0] for p in pairs])
+    b = np.stack([p[1] for p in pairs])
+
+    got = float(mean_ssim_sharded(a, b, mesh8, sigma=2.0, k1=0.02, k2=0.05))
+    want = np.mean(
+        [compute_ssim(a[i], b[i], sigma=2.0, k1=0.02, k2=0.05) for i in range(8)]
+    )
+    assert got == pytest.approx(want, abs=2e-6)
+
+    got_r = float(mean_ssim_sharded(a, b, mesh8, radius=3))
+    want_r = np.mean([compute_ssim(a[i], b[i], radius=3) for i in range(8)])
+    assert got_r == pytest.approx(want_r, abs=2e-6)
