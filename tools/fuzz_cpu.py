@@ -32,7 +32,7 @@ for k in range(N):
     w = int(r.integers(1, MAXW))
     with_map = bool(r.integers(0, 2))
     batch = int(r.integers(1, 3))
-    mode = int(r.integers(0, 8))
+    mode = int(r.integers(0, 9))
     a = r.integers(0, 256, (batch, h, w), dtype=np.uint8)
     b = np.clip(a.astype(np.int32) + r.normal(0, 14, a.shape).astype(np.int32), 0, 255).astype(np.uint8)
     kw = dict(with_map=with_map)
@@ -57,6 +57,14 @@ for k in range(N):
         # evaluates the bf16-split dots more loosely than Mosaic, so
         # the loose-envelope tolerance below is the honest bound).
         kw["accuracy"] = "relaxed"
+    elif mode == 8:
+        # custom-window extension: random sigma/k1/k2 on the fused
+        # kernel, random radius (sometimes) on the XLA route.
+        kw["sigma"] = float(r.uniform(0.8, 3.0))
+        kw["k1"] = float(r.uniform(0.005, 0.05))
+        kw["k2"] = float(r.uniform(0.01, 0.1))
+        if r.integers(0, 2):
+            kw["radius"] = int(r.integers(1, 8))
     else:
         # mode 6: fused backward kernel vs the XLA autodiff VJP.
         import jax as _jax
@@ -101,12 +109,13 @@ for k in range(N):
     ea, eb = a, b
     if "downsample" in kw:
         ea = engine.box_decimate(a, kw["downsample"]); eb = engine.box_decimate(b, kw["downsample"])
+    winkw = {n: kw[n] for n in ("radius", "sigma", "k1", "k2") if n in kw}
     tol_g = 5e-9 if kw.get("precision") == "f64" else 2e-6
     tol_m = 1e-6 if kw.get("precision") == "f64" else 2e-3
     if kw.get("accuracy") == "relaxed":
         tol_g, tol_m = 2e-5, 5e-3  # loose tier + CPU-interpret slack
     for i in range(batch):
-        want, wmap = reference.compute_ssim(ea[i], eb[i], with_map=with_map, data_range=dr)
+        want, wmap = reference.compute_ssim(ea[i], eb[i], with_map=with_map, data_range=dr, **winkw)
         npx = ea.shape[-2] * ea.shape[-1]
         tg = max(tol_g, 3e-3 / npx ** 0.5) if kw.get("precision") != "f64" else max(tol_g, 1e-4 / npx)
         err = abs(float(np.atleast_1d(got)[i]) - want)
