@@ -81,6 +81,9 @@ def ssim_spatial_sharded(
     data_range: float = 255.0,
     radius: int = RADIUS,
     impl="auto",
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """SSIM of one (H, W) pair with rows sharded over `axis`.
 
@@ -91,6 +94,9 @@ def ssim_spatial_sharded(
 
     impl: "auto" (fused Pallas kernel for u8 inputs at the default radius,
     XLA otherwise), "pallas", or "xla".
+    radius/sigma/k1/k2: the custom-window extension — radius also sets the
+    halo exchange depth, so any radius works here (XLA route); sigma/k1/k2
+    additionally ride the fused kernel.
     """
     n_shards = mesh.shape[axis]
     h, w = a.shape[-2], a.shape[-1]
@@ -126,6 +132,7 @@ def ssim_spatial_sharded(
             _, ssim_map = ssim_parts_pallas(
                 ae, be, with_map=True, data_range=data_range,
                 interpret=interpret, allow_float=float_pair,
+                sigma=sigma, k1=k1, k2=k2,
             )
             valid = ssim_map[radius : radius + shard_h, :]
             return jnp.sum(valid, axis=-1), (valid if with_map else None)
@@ -141,7 +148,8 @@ def ssim_spatial_sharded(
             ap = jnp.pad(ap, ((0, 0), (radius, radius)), mode="edge")
             bp = jnp.pad(bp, ((0, 0), (radius, radius)), mode="edge")
             return ssim_from_padded(
-                ap, bp, with_map=with_map, radius=radius, data_range=data_range
+                ap, bp, with_map=with_map, radius=radius,
+                data_range=data_range, sigma=sigma, k1=k1, k2=k2,
             )
 
     @functools.partial(
@@ -171,6 +179,9 @@ def mean_ssim_spatial(
     batch_axis: Optional[str] = None,
     data_range: float = 255.0,
     impl="auto",
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
 ) -> jnp.ndarray:
     """Differentiable mean SSIM of a row-sharded (H, W) pair — or a
     (B, H, W) batch, optionally batch-sharded over a second mesh axis
@@ -182,6 +193,8 @@ def mean_ssim_spatial(
     (single-image only — batched inputs require the fused-backward
     geometry). Both directions stay TPU-native kernels with halo rows
     over ICI.
+    sigma/k1/k2: the custom-window extension, threaded through both
+    fused kernels (radius stays 5 here — it sets the halo depth).
     """
     a = jnp.asarray(a)
     b = jnp.asarray(b)
@@ -207,7 +220,7 @@ def mean_ssim_spatial(
         def fwd_mean(xa, xb, use_impl=impl):
             row_sums, _ = ssim_spatial_sharded(
                 xa, xb, mesh, axis=axis, data_range=data_range,
-                impl=use_impl,
+                impl=use_impl, sigma=sigma, k1=k1, k2=k2,
             )
             return jnp.sum(row_sums) / n
 
@@ -249,6 +262,7 @@ def mean_ssim_spatial(
             _, smap = ssim_parts_pallas(
                 ae, be, with_map=True, data_range=data_range,
                 interpret=interpret, allow_float=fp,
+                sigma=sigma, k1=k1, k2=k2,
             )
             local = jnp.sum(smap[:, RADIUS : RADIUS + hs, :])
             return jax.lax.psum(local, psum_axes) / n
@@ -277,6 +291,7 @@ def mean_ssim_spatial(
         return ssim_grad_spatial_sharded(
             xa, xb, mesh, axis=axis, batch_axis=batch_axis,
             w_s=jnp.asarray(g, jnp.float32) / n, data_range=data_range,
+            sigma=sigma, k1=k1, k2=k2,
         )
 
     f.defvjp(f_fwd, f_bwd)
@@ -293,6 +308,9 @@ def ssim_grad_spatial_sharded(
     w_s=1.0,
     data_range: float = 255.0,
     interpret: Optional[bool] = None,
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(dL/da, dL/db) for L = w_s * sum_p SSIM(p) of ONE row-sharded
     float32 (H, W) pair — the fused analytic backward kernel
@@ -390,7 +408,7 @@ def ssim_grad_spatial_sharded(
         gmap = jnp.broadcast_to((mask * w_arr)[:, None], ae.shape)
         da, db = ssim_grad_pallas(
             ae, be, 0.0, 0.0, gmap, data_range=data_range,
-            interpret=interpret,
+            interpret=interpret, sigma=sigma, k1=k1, k2=k2,
         )
 
         def fold(g):

@@ -375,3 +375,38 @@ def test_mean_ssim_sharded_custom_window(rng, mesh8):
     got_r = float(mean_ssim_sharded(a, b, mesh8, radius=3))
     want_r = np.mean([compute_ssim(a[i], b[i], radius=3) for i in range(8)])
     assert got_r == pytest.approx(want_r, abs=2e-6)
+
+
+def test_spatial_sharded_custom_window(rng, mesh8):
+    """sigma/k1/k2 through the spatial layer: forward (fused kernel per
+    shard with halo rows) and the sharded fused backward."""
+    import jax
+    import jax.numpy as jnp
+
+    space = make_mesh((8,), ("space",))
+    a, b = random_pair(rng, 160, 96)
+    kw = dict(sigma=2.0, k1=0.02, k2=0.05)
+
+    row_sums, _ = ssim_spatial_sharded(a, b, space, impl="pallas", **kw)
+    got = engine.finalize_mean(np.asarray(row_sums), 160 * 96)
+    want = compute_ssim(a, b, **kw)
+    assert got == pytest.approx(want, abs=2e-6)
+
+    # Custom radius rides the XLA route with radius-deep halos.
+    row_sums_r, _ = ssim_spatial_sharded(a, b, space, radius=3, impl="xla")
+    got_r = engine.finalize_mean(np.asarray(row_sums_r), 160 * 96)
+    assert got_r == pytest.approx(compute_ssim(a, b, radius=3), abs=2e-6)
+
+    from ssim_tpu.parallel import mean_ssim_spatial
+
+    af = jnp.asarray(a, jnp.float32)
+    bf = jnp.asarray(b, jnp.float32)
+    ga = jax.grad(
+        lambda x: mean_ssim_spatial(x, bf, space, **kw)
+    )(af)
+    from ssim_tpu.ops.ssim_xla import ssim_parts_xla
+
+    ga_x = jax.grad(
+        lambda x: jnp.sum(ssim_parts_xla(x, bf, **kw)[0]) / (160 * 96)
+    )(af)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_x), atol=2e-7)
