@@ -184,12 +184,10 @@ def main(argv=None) -> int:
             # would misreport what was computed.
             sys.stderr.write("--downsample cannot be combined with --ms\n")
             return 1
-        if window:
-            # The MS-SSIM recipe pins the canonical window (Wang 2003);
-            # silently ignoring the flags would misreport the metric.
-            sys.stderr.write(
-                "--radius/--sigma/--k1/--k2 cannot be combined with --ms\n"
-            )
+        if "radius" in window:
+            # The MS-SSIM recipe pins the canonical 11x11 window size
+            # (Wang 2003); sigma/k1/k2 pass through (torchmetrics-style).
+            sys.stderr.write("--radius cannot be combined with --ms\n")
             return 1
         try:
             if img1.ndim == 3 and (luminance or only_channel < 0):
@@ -198,7 +196,9 @@ def main(argv=None) -> int:
                 m1, m2 = img1[:, :, only_channel], img2[:, :, only_channel]
             else:
                 m1, m2 = img1, img2
-            score = compute_ms_ssim(m1, m2, accuracy=accuracy or "standard")
+            score = compute_ms_ssim(
+                m1, m2, accuracy=accuracy or "standard", **window
+            )
         except Exception as e:
             sys.stderr.write(f"{e}\n")
             return 1

@@ -70,7 +70,8 @@ def _check_levels(a, levels):
         )
 
 
-def _cs_ssim_sums_diff(data_range, interpret, relaxed=False):
+def _cs_ssim_sums_diff(data_range, interpret, relaxed=False,
+                       sigma=SIGMA, k1=0.01, k2=0.03):
     """Per-scale differentiable [sum_cs, sum_ssim]: components-kernel
     forward, fused analytic-backward kernel (ops/ssim_grad.py) as the
     VJP — no XLA-formulation compile anywhere in the MS-SSIM training
@@ -84,7 +85,7 @@ def _cs_ssim_sums_diff(data_range, interpret, relaxed=False):
     def f(xa, xb):
         parts = ssim_components_pallas(
             xa, xb, data_range=data_range, interpret=interpret,
-            relaxed=relaxed,
+            relaxed=relaxed, sigma=sigma, k1=k1, k2=k2,
         )
         return jnp.sum(parts, axis=-2)  # (..., 2): [sum_cs, sum_ssim]
 
@@ -98,6 +99,7 @@ def _cs_ssim_sums_diff(data_range, interpret, relaxed=False):
         return ssim_grad_pallas(
             xa, xb, g[..., 1], g[..., 0],
             data_range=data_range, interpret=interpret, relaxed=relaxed,
+            sigma=sigma, k1=k1, k2=k2,
         )
 
     f.defvjp(f_fwd, f_bwd)
@@ -105,7 +107,7 @@ def _cs_ssim_sums_diff(data_range, interpret, relaxed=False):
 
 
 def _ms_pallas_forward(a, b, data_range, weights, interpret, diff=False,
-                       relaxed=False):
+                       relaxed=False, sigma=SIGMA, k1=0.01, k2=0.03):
     """Components-kernel pyramid. With diff=True every scale runs through
     the custom-VJP sums (fused backward kernel), making the whole pyramid
     natively differentiable — the _downsample2 reduce_window between
@@ -118,11 +120,13 @@ def _ms_pallas_forward(a, b, data_range, weights, interpret, diff=False,
     for lvl, w in enumerate(weights):
         n = x_a.shape[-2] * x_a.shape[-1]
         if diff:
-            sums = _cs_ssim_sums_diff(data_range, interpret, relaxed)(x_a, x_b) / n
+            sums = _cs_ssim_sums_diff(
+                data_range, interpret, relaxed, sigma, k1, k2
+            )(x_a, x_b) / n
         else:
             parts = ssim_components_pallas(
                 x_a, x_b, data_range=data_range, interpret=interpret,
-                relaxed=relaxed,
+                relaxed=relaxed, sigma=sigma, k1=k1, k2=k2,
             )
             sums = jnp.sum(parts, axis=-2) / n  # (..., 2): [mean_cs, mean_ssim]
         if lvl == levels - 1:
@@ -136,12 +140,12 @@ def _ms_pallas_forward(a, b, data_range, weights, interpret, diff=False,
     return result
 
 
-def _ms_xla_forward(a, b, data_range, weights):
+def _ms_xla_forward(a, b, data_range, weights, sigma=SIGMA, k1=0.01, k2=0.03):
     """Pure-XLA pyramid (differentiable; slow to compile on TPU)."""
     levels = len(weights)
-    taps = gaussian_taps(np.float32, RADIUS, SIGMA)
-    c1 = jnp.float32((0.01 * data_range) ** 2)
-    c2 = jnp.float32((0.03 * data_range) ** 2)
+    taps = gaussian_taps(np.float32, RADIUS, sigma)
+    c1 = jnp.float32((k1 * data_range) ** 2)
+    c2 = jnp.float32((k2 * data_range) ** 2)
 
     af = a.astype(jnp.float32)
     bf = b.astype(jnp.float32)
@@ -173,7 +177,10 @@ def _pallas_eligible(a, b):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("data_range", "weights", "impl", "accuracy")
+    jax.jit,
+    static_argnames=(
+        "data_range", "weights", "impl", "accuracy", "sigma", "k1", "k2",
+    ),
 )
 def ms_ssim(
     a: jnp.ndarray,
@@ -183,6 +190,9 @@ def ms_ssim(
     weights: Tuple[float, ...] = MS_SSIM_WEIGHTS,
     impl: str = "auto",
     accuracy: str = "standard",
+    sigma: float = SIGMA,
+    k1: float = 0.01,
+    k2: float = 0.03,
 ) -> jnp.ndarray:
     """Jittable MS-SSIM. a, b: (..., H, W); needs min(H, W) >= 11 * 2^(L-1).
 
@@ -201,27 +211,32 @@ def ms_ssim(
     kernel's loose bf16-split blur tier, forward AND backward (see
     api.ssim); Pallas impl only (the XLA path computes at standard
     accuracy).
+
+    sigma/k1/k2 (extension, torchmetrics-style): custom window spread and
+    stabilization constants, threaded through every scale on both paths
+    (radius stays 5 — the canonical MS-SSIM window size).
     """
     from ..api import _relaxed
     from ..dispatch import Implementation, backend_platform, select_impl
-    from ..engine import validate_pair
+    from ..engine import validate_pair, validate_window
 
     levels = len(weights)
     relaxed = _relaxed(accuracy)
     validate_pair(a, b)  # static at trace time (same EINVAL surface as engine.compute)
+    validate_window(RADIUS, sigma, k1, k2)
     _check_levels(a, levels)
 
     resolved = select_impl(impl)
     use_pallas = resolved == Implementation.PALLAS and _pallas_eligible(a, b)
     if not use_pallas:
-        return _ms_xla_forward(a, b, data_range, weights)
+        return _ms_xla_forward(a, b, data_range, weights, sigma, k1, k2)
 
     interpret = backend_platform() != "tpu"
     if a.dtype != jnp.float32:
         # u8 inputs are not differentiable (integer tangents); skip the
         # VJP wrapper so the forward stays a pure kernel call.
         return _ms_pallas_forward(a, b, data_range, weights, interpret,
-                                  relaxed=relaxed)
+                                  relaxed=relaxed, sigma=sigma, k1=k1, k2=k2)
 
     from ..ops.ssim_grad import grad_pallas_supported
 
@@ -230,7 +245,8 @@ def ms_ssim(
         # every coarser scale does too: the whole pyramid (forward AND
         # gradient) is TPU-native kernels.
         return _ms_pallas_forward(a, b, data_range, weights, interpret,
-                                  diff=True, relaxed=relaxed)
+                                  diff=True, relaxed=relaxed, sigma=sigma,
+                                  k1=k1, k2=k2)
 
     # Defensive fallback (grad_pallas_supported now accepts any width,
     # so this branch is unreachable for valid pyramids): fused forward,
@@ -238,7 +254,7 @@ def ms_ssim(
     @jax.custom_vjp
     def f(xa, xb):
         return _ms_pallas_forward(xa, xb, data_range, weights, interpret,
-                                  relaxed=relaxed)
+                                  relaxed=relaxed, sigma=sigma, k1=k1, k2=k2)
 
     def f_fwd(xa, xb):
         return f(xa, xb), (xa, xb)
@@ -246,7 +262,9 @@ def ms_ssim(
     def f_bwd(res, g):
         xa, xb = res
         _, vjp = jax.vjp(
-            lambda u, v: _ms_xla_forward(u, v, data_range, weights), xa, xb
+            lambda u, v: _ms_xla_forward(u, v, data_range, weights,
+                                         sigma, k1, k2),
+            xa, xb,
         )
         return vjp(g)
 
@@ -256,10 +274,12 @@ def ms_ssim(
 
 def compute_ms_ssim(a, b, *, data_range: float = 255.0,
                     weights: Sequence[float] = MS_SSIM_WEIGHTS,
-                    impl: str = "auto", accuracy: str = "standard") -> float:
+                    impl: str = "auto", accuracy: str = "standard",
+                    sigma: float = SIGMA, k1: float = 0.01,
+                    k2: float = 0.03) -> float:
     """Eager convenience wrapper (host arrays in, float out)."""
     res = ms_ssim(jnp.asarray(np.asarray(a)), jnp.asarray(np.asarray(b)),
                   data_range=data_range, weights=tuple(weights), impl=impl,
-                  accuracy=accuracy)
+                  accuracy=accuracy, sigma=sigma, k1=k1, k2=k2)
     out = np.asarray(res)
     return float(out) if out.ndim == 0 else out

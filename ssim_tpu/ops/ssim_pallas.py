@@ -1161,7 +1161,7 @@ def ssim_parts_pallas(
 @functools.partial(
     jax.jit,
     static_argnames=("data_range", "interpret", "max_tile_h", "max_tile_w",
-                     "relaxed"),
+                     "relaxed", "sigma", "k1", "k2"),
 )
 def ssim_components_pallas(
     a: jnp.ndarray,
@@ -1172,6 +1172,9 @@ def ssim_components_pallas(
     max_tile_h: Optional[int] = None,
     max_tile_w: int = TILE_W,
     relaxed: bool = False,
+    sigma: float = SIGMA,
+    k1: float = 0.01,
+    k2: float = 0.03,
 ) -> jnp.ndarray:
     """Fused-kernel MS-SSIM components: per-tile sums of the cs factor and
     of full SSIM (= l*cs). a, b: (H, W) or (B, H, W), uint8 OR float32 in
@@ -1201,9 +1204,11 @@ def ssim_components_pallas(
         b = b[None]
     batch, h, w = a.shape
 
-    taps = gaussian_taps(np.float32, RADIUS, SIGMA)
-    c1 = float((0.01 * data_range) ** 2)
-    c2 = float((0.03 * data_range) ** 2)
+    # sigma/k1/k2: the custom-window extension (trace-time taps and
+    # constants; radius stays 5 — the kernel's halo geometry).
+    taps = gaussian_taps(np.float32, RADIUS, sigma)
+    c1 = float((k1 * data_range) ** 2)
+    c2 = float((k2 * data_range) ** 2)
 
     clip_bound = max(131072.0, 4.0 * float(data_range))
     is_float = a.dtype == jnp.float32

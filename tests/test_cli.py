@@ -242,7 +242,9 @@ def test_window_flags_invalid_param(image_pair, capsys):
     assert cli.main(["--radius=0", pa, pb]) == 1  # engine validation
 
 
-def test_window_flags_reject_ms(image_pair, capsys):
+def test_window_flags_reject_ms_radius(image_pair, capsys):
+    """--ms takes sigma/k1/k2 (torchmetrics-style) but pins the canonical
+    11x11 window size."""
     _, _, pa, pb = image_pair
-    assert cli.main(["--ms", "--sigma=2.0", pa, pb]) == 1
+    assert cli.main(["--ms", "--radius=3", pa, pb]) == 1
     assert "--ms" in capsys.readouterr().err

@@ -271,3 +271,28 @@ def test_custom_radius_grad_via_xla(rng):
     am[y, x] -= eps
     fd = (float(f(jnp.asarray(ap))) - float(f(jnp.asarray(am)))) / (2 * eps)
     assert g[y, x] == pytest.approx(fd, rel=2e-2, abs=1e-6)
+
+
+def test_ms_ssim_custom_sigma_k(rng):
+    """MS-SSIM sigma/k1/k2 (torchmetrics-style): the components-kernel
+    pyramid matches the XLA pyramid, and the fused per-scale backward
+    matches XLA autodiff."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssim_tpu.models.msssim import ms_ssim
+
+    a8, b8 = random_pair(rng, 192, 256)
+    kw = dict(sigma=2.0, k1=0.02, k2=0.05)
+    got = float(ms_ssim(jnp.asarray(a8), jnp.asarray(b8), impl="pallas", **kw))
+    want = float(ms_ssim(jnp.asarray(a8), jnp.asarray(b8), impl="xla", **kw))
+    assert got == pytest.approx(want, abs=3e-5)
+    # Custom constants must actually change the score.
+    base = float(ms_ssim(jnp.asarray(a8), jnp.asarray(b8), impl="xla"))
+    assert abs(want - base) > 1e-4
+
+    af = jnp.asarray(a8, jnp.float32)
+    bf = jnp.asarray(b8, jnp.float32)
+    gp = jax.grad(lambda x: ms_ssim(x, bf, impl="pallas", **kw))(af)
+    gx = jax.grad(lambda x: ms_ssim(x, bf, impl="xla", **kw))(af)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=5e-5)
