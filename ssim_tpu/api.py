@@ -215,7 +215,7 @@ def _run_metric(a, b, impl, data_range, with_map, relaxed=False,
     # is free here — a mismatch raises InvalidArgumentError at trace time
     # instead of surfacing as a cryptic XLA broadcast error.
     engine.validate_pair(a, b)
-    engine.validate_window(radius, sigma, k1, k2)
+    engine.validate_window(radius, sigma, k1, k2, data_range)
     radius = int(radius)
 
     n = a.shape[-1] * a.shape[-2]

@@ -49,27 +49,47 @@ def validate_pair(a: np.ndarray, b: np.ndarray) -> None:
             raise InvalidArgumentError(f"unsupported dtype {x.dtype}")
 
 
-def validate_window(radius, sigma, k1, k2) -> None:
+def validate_window(radius, sigma, k1, k2, data_range=None) -> None:
     """Validate the custom-window extension parameters (defaults are the
     reference contract: radius 5, sigma 1.5, k1 0.01, k2 0.03 —
-    src/ssim.cpp:227-228, :956-960)."""
+    src/ssim.cpp:227-228, :956-960).
+
+    With data_range given, also enforces the degeneracy floor once for
+    EVERY compute path: c1*c2 = (k1*k2*data_range^2)^2 must stay a
+    normal f32 (TPUs flush subnormals; below it the SSIM formula itself
+    collapses and the fused kernel's garbage-rows-equal-1.0 identity
+    breaks) — the same floor the fused kernels assert themselves, raised
+    here so the XLA route fails loudly too instead of returning NaN."""
     if isinstance(radius, bool) or not isinstance(radius, (int, np.integer)):
         raise InvalidArgumentError(f"radius must be an int >= 1, got {radius!r}")
     if radius < 1:
         raise InvalidArgumentError(f"radius must be >= 1, got {radius}")
-    if not (float(sigma) > 0.0 and np.isfinite(float(sigma))):
-        raise InvalidArgumentError(f"sigma must be finite and > 0, got {sigma!r}")
-    for name, v in (("k1", k1), ("k2", k2)):
+    vals = {"sigma": sigma, "k1": k1, "k2": k2}
+    for name, v in vals.items():
+        if isinstance(v, bool) or not isinstance(
+            v, (int, float, np.integer, np.floating)
+        ):
+            raise InvalidArgumentError(
+                f"{name} must be a finite number > 0, got {v!r}"
+            )
         if not (float(v) > 0.0 and np.isfinite(float(v))):
-            raise InvalidArgumentError(f"{name} must be finite and > 0, got {v!r}")
+            raise InvalidArgumentError(
+                f"{name} must be finite and > 0, got {v!r}"
+            )
+    if data_range is not None:
+        c1 = (float(k1) * float(data_range)) ** 2
+        c2 = (float(k2) * float(data_range)) ** 2
+        if c1 * c2 < 9e-32:
+            raise InvalidArgumentError(
+                f"k1/k2 too small for data_range {data_range}: c1*c2 = "
+                f"{c1 * c2:g} degenerates in f32 (needs >= 9e-32)"
+            )
 
 
 def window_is_default(radius, sigma, k1, k2) -> bool:
-    from .windows import RADIUS, SIGMA
+    from .windows import window_is_default as _wid
 
-    return (
-        radius == RADIUS and sigma == SIGMA and k1 == 0.01 and k2 == 0.03
-    )
+    return _wid(radius, sigma, k1, k2)
 
 
 def finalize_mean(partials: np.ndarray, npix: int) -> np.ndarray:
@@ -188,7 +208,7 @@ def compute(
     a = np.asarray(a)
     b = np.asarray(b)
     validate_pair(a, b)
-    validate_window(radius, sigma, k1, k2)
+    validate_window(radius, sigma, k1, k2, data_range)
     radius = int(radius)
     default_window = window_is_default(radius, sigma, k1, k2)
     downsample = resolve_downsample(downsample, a.shape[-2], a.shape[-1])

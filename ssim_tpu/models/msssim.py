@@ -223,7 +223,7 @@ def ms_ssim(
     levels = len(weights)
     relaxed = _relaxed(accuracy)
     validate_pair(a, b)  # static at trace time (same EINVAL surface as engine.compute)
-    validate_window(RADIUS, sigma, k1, k2)
+    validate_window(RADIUS, sigma, k1, k2, data_range)
     _check_levels(a, levels)
 
     resolved = select_impl(impl)

@@ -61,6 +61,7 @@ def ssim_parts_auto(
     radius-5); sigma/k1/k2 ride the fused kernel (trace-time taps and
     constants), except the lane-packed fast path, which stays pinned to
     the default window."""
+    from ..windows import window_is_default
     from .ssim_pallas import (
         pack_preferred,
         ssim_parts_pallas,
@@ -68,7 +69,7 @@ def ssim_parts_auto(
     )
     from .ssim_xla import ssim_parts_xla
 
-    window_default = sigma == 1.5 and k1 == 0.01 and k2 == 0.03
+    window_default = window_is_default(radius, sigma, k1, k2)
 
     def pack_routable(itemsize: int) -> bool:
         # One gate for u8 and float batches: the lane-packed path has no

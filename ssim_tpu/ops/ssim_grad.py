@@ -489,6 +489,13 @@ def ssim_grad_pallas(
     taps = gaussian_taps(np.float32, RADIUS, sigma)
     c1 = float((k1 * data_range) ** 2)
     c2 = float((k2 * data_range) ** 2)
+    if c1 * c2 < 9e-32:
+        # Same degeneracy floor as the forward kernels (c1*c2 must stay
+        # a normal f32; TPUs flush subnormals).
+        raise ValueError(
+            f"k1/k2 too small for data_range {data_range}: c1*c2 = "
+            f"{c1 * c2:g} degenerates in f32 (needs >= 9e-32)"
+        )
     clip_bound = max(131072.0, 4.0 * float(data_range))
     if g_map is not None:
         g_map = g_map.astype(jnp.float32)

@@ -1209,6 +1209,13 @@ def ssim_components_pallas(
     taps = gaussian_taps(np.float32, RADIUS, sigma)
     c1 = float((k1 * data_range) ** 2)
     c2 = float((k2 * data_range) ** 2)
+    if c1 * c2 < 9e-32:
+        # Same degeneracy floor as ssim_parts_pallas: the ragged-tile
+        # garbage-rows-equal-1.0 identity needs c1*c2 to stay a normal f32.
+        raise ValueError(
+            f"k1/k2 too small for data_range {data_range}: c1*c2 = "
+            f"{c1 * c2:g} degenerates in f32 (needs >= 9e-32)"
+        )
 
     clip_bound = max(131072.0, 4.0 * float(data_range))
     is_float = a.dtype == jnp.float32

@@ -75,7 +75,7 @@ def ssim_batch_sharded(
     """
     from ..engine import validate_window
 
-    validate_window(radius, sigma, k1, k2)
+    validate_window(radius, sigma, k1, k2, data_range)
     parts = _parts_fn(
         impl, dict(radius=int(radius), sigma=sigma, k1=k1, k2=k2)
     )
@@ -116,7 +116,7 @@ def mean_ssim_sharded(
     radius/sigma/k1/k2: the custom-window extension (see engine.compute)."""
     from ..engine import validate_window
 
-    validate_window(radius, sigma, k1, k2)
+    validate_window(radius, sigma, k1, k2, data_range)
     n = a.shape[-1] * a.shape[-2]
     batch = a.shape[0]
     parts = _parts_fn(

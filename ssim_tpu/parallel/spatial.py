@@ -98,6 +98,10 @@ def ssim_spatial_sharded(
     halo exchange depth, so any radius works here (XLA route); sigma/k1/k2
     additionally ride the fused kernel.
     """
+    from ..engine import validate_window
+
+    validate_window(radius, sigma, k1, k2, data_range)
+    radius = int(radius)
     n_shards = mesh.shape[axis]
     h, w = a.shape[-2], a.shape[-1]
     impl = select_impl("auto" if impl is None else impl)
@@ -196,6 +200,9 @@ def mean_ssim_spatial(
     sigma/k1/k2: the custom-window extension, threaded through both
     fused kernels (radius stays 5 here — it sets the halo depth).
     """
+    from ..engine import validate_window
+
+    validate_window(RADIUS, sigma, k1, k2, data_range)
     a = jnp.asarray(a)
     b = jnp.asarray(b)
     if a.ndim not in (2, 3) or a.shape != b.shape:
@@ -355,8 +362,10 @@ def ssim_grad_spatial_sharded(
     Validated against jax.grad of the unsharded XLA formulation across
     shard counts and edge geometries (tests/test_distributed.py).
     """
+    from ..engine import validate_window
     from ..ops.ssim_grad import ssim_grad_pallas
 
+    validate_window(RADIUS, sigma, k1, k2, data_range)
     a = jnp.asarray(a)
     b = jnp.asarray(b)
     if a.ndim not in (2, 3) or a.shape != b.shape:

@@ -52,6 +52,14 @@ FROZEN_COEFFS_21 = np.array(
 )
 
 
+def window_is_default(radius, sigma, k1, k2) -> bool:
+    """Whether the window parameters are the reference contract
+    (radius 5, sigma 1.5, k1 0.01, k2 0.03 — src/ssim.cpp:227-228,
+    :956-960). One helper for every routing gate (engine host-impl gate,
+    routing's packed-path gate) so the literals cannot drift."""
+    return radius == RADIUS and sigma == SIGMA and k1 == K1 and k2 == K2
+
+
 def gaussian_taps(dtype=np.float64, radius: int = RADIUS, sigma: float = SIGMA) -> np.ndarray:
     """Normalized 1-D Gaussian taps of length 2*radius+1.
 

@@ -187,12 +187,50 @@ def test_invalid_window_params_raise(rng, kw):
         ssim(jnp.asarray(a), jnp.asarray(b), **kw)
 
 
-def test_tiny_k1_k2_degenerate_on_kernel_raises(rng):
-    """The fused kernel refuses k1/k2 that push c1*c2 below normal f32
-    (same degeneracy class as its data_range floor)."""
+def test_tiny_k1_k2_degenerate_raises_every_path(rng):
+    """k1/k2 that push c1*c2 below normal f32 raise on EVERY route (the
+    floor is enforced once in validate_window(data_range), plus defense-
+    in-depth guards inside the fused kernels)."""
+    import jax.numpy as jnp
+
+    from ssim_tpu.models.msssim import ms_ssim
+
     a, b = random_pair(rng, 16, 16)
-    with pytest.raises(ValueError):
-        compute_ssim(a, b, impl="pallas", k1=1e-18, k2=1e-18)
+    for impl in ("pallas", "xla"):
+        with pytest.raises(ValueError):
+            compute_ssim(a, b, impl=impl, k1=1e-18, k2=1e-18)
+    with pytest.raises(InvalidArgumentError):
+        ssim(jnp.asarray(a), jnp.asarray(b), k1=1e-18, k2=1e-18)
+    a176 = np.tile(a, (11, 11))  # big enough for 5 scales
+    with pytest.raises(InvalidArgumentError):
+        ms_ssim(jnp.asarray(a176), jnp.asarray(a176), k1=1e-18, k2=1e-18)
+
+
+def test_sigma_validated_on_spatial_layers(rng):
+    """The spatial layers validate window params like their batch
+    siblings (review finding: NaN taps would otherwise flow silently)."""
+    import jax
+
+    from ssim_tpu.parallel import make_mesh, mean_ssim_spatial, ssim_spatial_sharded
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh((2,), ("space",))
+    a, b = random_pair(rng, 40, 32)
+    with pytest.raises(InvalidArgumentError):
+        ssim_spatial_sharded(a, b, mesh, sigma=0.0)
+    with pytest.raises(InvalidArgumentError):
+        mean_ssim_spatial(a, b, mesh, sigma=float("nan"))
+
+
+def test_non_numeric_window_params_raise_invalid_argument(rng):
+    """Non-numeric sigma/k1/k2 surface as InvalidArgumentError, not a
+    bare TypeError; bool is rejected like it is for radius."""
+    a, b = random_pair(rng, 16, 16)
+    for kw in (dict(sigma=[1.5]), dict(sigma="wide"), dict(k1=True),
+               dict(k2=None)):
+        with pytest.raises(InvalidArgumentError):
+            compute_ssim(a, b, **kw)
 
 
 def test_jittable_matches_eager_custom_window(rng):
