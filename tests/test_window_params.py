@@ -334,3 +334,12 @@ def test_ms_ssim_custom_sigma_k(rng):
     gp = jax.grad(lambda x: ms_ssim(x, bf, impl="pallas", **kw))(af)
     gx = jax.grad(lambda x: ms_ssim(x, bf, impl="xla", **kw))(af)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=5e-5)
+
+
+def test_pallas_chunked_path_custom_sigma(rng):
+    """Custom sigma/k1/k2 on the CHUNKED wide-image kernel path
+    (w > TILE_W forces the padded four-BlockSpec route)."""
+    a, b = random_pair(rng, 8, 4400)
+    want, _ = reference.compute_ssim(a, b, sigma=2.0, k1=0.02, k2=0.05)
+    got = compute_ssim(a, b, impl="pallas", sigma=2.0, k1=0.02, k2=0.05)
+    assert got == pytest.approx(want, abs=2e-6)
