@@ -59,17 +59,14 @@ def ssim_parts_auto(
     radius/sigma/k1/k2 generalize the window (extension): a non-default
     radius routes to the XLA path (the fused kernel's halo geometry is
     radius-5); sigma/k1/k2 ride the fused kernel (trace-time taps and
-    constants), except the lane-packed fast path, which stays pinned to
-    the default window."""
-    from ..windows import window_is_default
+    constants) on every route, including the lane-packed fast path (its
+    RADIUS-wide gutters isolate the window for any tap values)."""
     from .ssim_pallas import (
         pack_preferred,
         ssim_parts_pallas,
         ssim_parts_pallas_packed,
     )
     from .ssim_xla import ssim_parts_xla
-
-    window_default = window_is_default(radius, sigma, k1, k2)
 
     def pack_routable(itemsize: int) -> bool:
         # One gate for u8 and float batches: the lane-packed path has no
@@ -79,7 +76,6 @@ def ssim_parts_auto(
             not with_map
             and not precise
             and not tile_kwargs
-            and window_default
             and a.ndim == 3
             and data_range >= 1e-6
             and pack_preferred(a.shape[-1], a.shape[0], itemsize=itemsize)
@@ -107,7 +103,7 @@ def ssim_parts_auto(
             # Gpix/s; see PACK_MAX_W's comment for the width policy).
             return ssim_parts_pallas_packed(
                 a, b, data_range=data_range, interpret=interpret,
-                relaxed=relaxed,
+                relaxed=relaxed, sigma=sigma, k1=k1, k2=k2,
             ), None
         return ssim_parts_pallas(
             a, b, with_map=with_map, data_range=data_range,
@@ -123,6 +119,7 @@ def ssim_parts_auto(
             return ssim_parts_pallas_packed(
                 af, bf, data_range=data_range, interpret=interpret,
                 allow_float=True, relaxed=relaxed,
+                sigma=sigma, k1=k1, k2=k2,
             ), None
         return ssim_parts_pallas(
             af, bf,

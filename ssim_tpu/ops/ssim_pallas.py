@@ -1281,7 +1281,7 @@ def pack_count(w: int, batch: int, itemsize: int = 1) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("data_range", "interpret", "max_tile_h", "allow_float",
-                     "relaxed"),
+                     "relaxed", "sigma", "k1", "k2"),
 )
 def ssim_parts_pallas_packed(
     a: jnp.ndarray,
@@ -1292,6 +1292,9 @@ def ssim_parts_pallas_packed(
     max_tile_h: Optional[int] = None,
     allow_float: bool = False,
     relaxed: bool = False,
+    sigma: float = SIGMA,
+    k1: float = 0.01,
+    k2: float = 0.03,
 ) -> jnp.ndarray:
     """Lane-packed batch SSIM for SMALL uint8 images: per-image partials
     of shape (B, 2) — [:, 0] the (ssim - 1) sum, [:, 1] the exact pixel
@@ -1357,9 +1360,20 @@ def ssim_parts_pallas_packed(
             .reshape(bp, h, p * pitch)
         )
 
-    taps = gaussian_taps(np.float32, RADIUS, SIGMA)
-    c1 = float((0.01 * data_range) ** 2)
-    c2 = float((0.03 * data_range) ** 2)
+    # sigma/k1/k2: the custom-window extension. The RADIUS-wide gutters
+    # isolate the 11-tap window for ANY tap values (the window reaches at
+    # most r past an image edge, landing in that image's own replica
+    # gutter), and the padding-slot identity below holds for any c1/c2.
+    taps = gaussian_taps(np.float32, RADIUS, sigma)
+    c1 = float((k1 * data_range) ** 2)
+    c2 = float((k2 * data_range) ** 2)
+    if c1 * c2 < 9e-32:
+        # Same degeneracy floor as ssim_parts_pallas (c1*c2 must stay a
+        # normal f32).
+        raise ValueError(
+            f"k1/k2 too small for data_range {data_range}: c1*c2 = "
+            f"{c1 * c2:g} degenerates in f32 (needs >= 9e-32)"
+        )
     clip_bound = max(131072.0, 4.0 * float(data_range))
     tile_h = max_tile_h if max_tile_h is not None else _pick_tile_h(
         h, p * pitch, float_input=float_ok

@@ -343,3 +343,27 @@ def test_pallas_chunked_path_custom_sigma(rng):
     want, _ = reference.compute_ssim(a, b, sigma=2.0, k1=0.02, k2=0.05)
     got = compute_ssim(a, b, impl="pallas", sigma=2.0, k1=0.02, k2=0.05)
     assert got == pytest.approx(want, abs=2e-6)
+
+
+def test_packed_path_custom_sigma_k(rng):
+    """Custom sigma/k1/k2 on the lane-packed small-batch path (the
+    RADIUS-wide gutters isolate any tap values); exercised through
+    ssim_parts_pallas_packed directly plus the auto route."""
+    from ssim_tpu import engine
+    from ssim_tpu.ops.ssim_pallas import pack_preferred, ssim_parts_pallas_packed
+
+    assert pack_preferred(64, 64, itemsize=1)
+    a = np.stack([random_pair(rng, 64, 64)[0] for _ in range(4)])
+    b = np.clip(a.astype(np.int32) + 7, 0, 255).astype(np.uint8)
+    import jax.numpy as jnp
+
+    kw = dict(sigma=2.0, k1=0.02, k2=0.05)
+    parts = ssim_parts_pallas_packed(
+        jnp.asarray(a), jnp.asarray(b), interpret=True, **kw
+    )
+    # partials are [(ssim-1) sum, count]; finalize_mean folds the count
+    # back in, yielding mean(ssim) directly.
+    got = engine.finalize_mean(np.asarray(parts), 64 * 64)
+    for i in range(4):
+        want, _ = reference.compute_ssim(a[i], b[i], **kw)
+        assert got[i] == pytest.approx(want, abs=2e-6)
