@@ -240,36 +240,17 @@ def ms_ssim(
 
     from ..ops.ssim_grad import grad_pallas_supported
 
-    if grad_pallas_supported(a.shape[-2], a.shape[-1]):
-        # Scale 0 is the widest scale, so if it fits the fused backward
-        # every coarser scale does too: the whole pyramid (forward AND
-        # gradient) is TPU-native kernels.
-        return _ms_pallas_forward(a, b, data_range, weights, interpret,
-                                  diff=True, relaxed=relaxed, sigma=sigma,
-                                  k1=k1, k2=k2)
-
-    # Defensive fallback (grad_pallas_supported now accepts any width,
-    # so this branch is unreachable for valid pyramids): fused forward,
-    # XLA-formulation VJP.
-    @jax.custom_vjp
-    def f(xa, xb):
-        return _ms_pallas_forward(xa, xb, data_range, weights, interpret,
-                                  relaxed=relaxed, sigma=sigma, k1=k1, k2=k2)
-
-    def f_fwd(xa, xb):
-        return f(xa, xb), (xa, xb)
-
-    def f_bwd(res, g):
-        xa, xb = res
-        _, vjp = jax.vjp(
-            lambda u, v: _ms_xla_forward(u, v, data_range, weights,
-                                         sigma, k1, k2),
-            xa, xb,
-        )
-        return vjp(g)
-
-    f.defvjp(f_fwd, f_bwd)
-    return f(a, b)
+    # Scale 0 is the widest scale, so if it fits the fused backward every
+    # coarser scale does too: the whole pyramid (forward AND gradient) is
+    # TPU-native kernels. grad_pallas_supported holds for EVERY valid
+    # pyramid — _check_levels guarantees min side >= 11 > RADIUS, and the
+    # column-chunked backward accepts any width — so this is an invariant
+    # check, not a branch (a never-executed XLA-VJP fallback used to live
+    # here; a review flagged it as dead code).
+    assert grad_pallas_supported(a.shape[-2], a.shape[-1])
+    return _ms_pallas_forward(a, b, data_range, weights, interpret,
+                              diff=True, relaxed=relaxed, sigma=sigma,
+                              k1=k1, k2=k2)
 
 
 def compute_ms_ssim(a, b, *, data_range: float = 255.0,

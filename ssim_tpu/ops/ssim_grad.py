@@ -78,7 +78,10 @@ from .ssim_pallas import (
 GRAD_MAX_W = 7680
 
 #: Owned columns per chunk in the wide (column-chunked) backward path.
-GRAD_CHUNK_W = 3840
+#: Sized so each chunk's kernel window (owned + 2*RADIUS halo columns per
+#: side) is exactly GRAD_MAX_W, the validated per-call maximum — fewest
+#: launches/compiles per image (w=8000: two windows, not three).
+GRAD_CHUNK_W = GRAD_MAX_W - 4 * RADIUS
 
 
 def grad_pallas_supported(h: int, w: int) -> bool:

@@ -219,6 +219,7 @@ def mean_ssim_spatial(
     float_pair = a.dtype == jnp.float32 and b.dtype == jnp.float32
     grad_ok = (
         float_pair
+        and w > RADIUS  # the backward kernel's own minimum width
         and h % n_shards == 0
         and h // n_shards >= 2 * RADIUS
     )
@@ -256,8 +257,16 @@ def mean_ssim_spatial(
         interpret = backend_platform() != "tpu"
         spec = P(batch_axis, axis, None)
         psum_axes = (axis,) + ((batch_axis,) if batch_axis else ())
+        # Honor impl like the 2-D branch / ssim_spatial_sharded (a review
+        # found the batched branch silently pinning the Pallas kernel):
+        # non-Pallas impls take the XLA formulation per shard, which is
+        # plainly differentiable — no custom VJP needed.
+        use_pallas = select_impl("auto" if impl is None else impl) == (
+            Implementation.PALLAS
+        )
 
         from ..ops.ssim_pallas import ssim_parts_pallas
+        from ..ops.ssim_xla import ssim_from_padded
 
         @functools.partial(
             jax.shard_map, mesh=mesh, in_specs=(spec, spec), out_specs=P(),
@@ -266,12 +275,24 @@ def mean_ssim_spatial(
         def fwd_sharded(xa, xb):
             ae = _exchange_halos(xa, axis, n_shards, RADIUS)
             be = _exchange_halos(xb, axis, n_shards, RADIUS)
-            _, smap = ssim_parts_pallas(
-                ae, be, with_map=True, data_range=data_range,
-                interpret=interpret, allow_float=fp,
-                sigma=sigma, k1=k1, k2=k2,
-            )
-            local = jnp.sum(smap[:, RADIUS : RADIUS + hs, :])
+            if use_pallas:
+                _, smap = ssim_parts_pallas(
+                    ae, be, with_map=True, data_range=data_range,
+                    interpret=interpret, allow_float=fp,
+                    sigma=sigma, k1=k1, k2=k2,
+                )
+                local = jnp.sum(smap[:, RADIUS : RADIUS + hs, :])
+            else:
+                # ssim_from_padded consumes the r-row vertical halos as
+                # its padding (plus local horizontal edge pads), emitting
+                # exactly the hs owned rows.
+                pad = ((0, 0), (0, 0), (RADIUS, RADIUS))
+                row_sums, _ = ssim_from_padded(
+                    jnp.pad(ae.astype(jnp.float32), pad, mode="edge"),
+                    jnp.pad(be.astype(jnp.float32), pad, mode="edge"),
+                    data_range=data_range, sigma=sigma, k1=k1, k2=k2,
+                )
+                local = jnp.sum(row_sums)
             return jax.lax.psum(local, psum_axes) / n
 
         def fwd_mean(xa, xb):
@@ -279,11 +300,15 @@ def mean_ssim_spatial(
 
         if a.dtype == jnp.uint8:
             return fwd_mean(a, b)  # no gradient through u8 anyway
+        if not use_pallas:
+            # XLA formulation: ordinary autodiff through the sharded
+            # forward (ppermute is transposable); no custom VJP.
+            return fwd_mean(a, b)
         if not grad_ok:
             raise ValueError(
                 f"batched differentiable mean_ssim_spatial needs shards "
-                f">= {2 * RADIUS} rows (H={h} over {n_shards} shards); "
-                f"use fewer shards"
+                f">= {2 * RADIUS} rows and w > {RADIUS} (got {h}x{w} over "
+                f"{n_shards} shards); use fewer shards"
             )
 
     @jax.custom_vjp

@@ -410,3 +410,29 @@ def test_spatial_sharded_custom_window(rng, mesh8):
         lambda x: jnp.sum(ssim_parts_xla(x, bf, **kw)[0]) / (160 * 96)
     )(af)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_x), atol=2e-7)
+
+
+def test_batched_mean_ssim_spatial_honors_xla_impl(rng, mesh8):
+    """The batched branch honors impl (a review found it pinning the
+    Pallas kernel): impl='xla' runs the XLA formulation per shard and is
+    differentiable by ordinary autodiff through the ppermute."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssim_tpu.ops.ssim_xla import ssim_parts_xla
+    from ssim_tpu.parallel import mean_ssim_spatial
+
+    space = make_mesh((4,), ("space",))
+    pairs = [random_pair(rng, 80, 64) for _ in range(3)]
+    a = np.stack([p[0] for p in pairs]).astype(np.float32)
+    b = np.stack([p[1] for p in pairs]).astype(np.float32)
+    af, bf = jnp.asarray(a), jnp.asarray(b)
+    n = a.size
+
+    got = float(mean_ssim_spatial(af, bf, space, impl="xla"))
+    want = float(jnp.sum(ssim_parts_xla(af, bf)[0]) / n)
+    assert got == pytest.approx(want, abs=1e-6)
+
+    ga = jax.grad(lambda x: mean_ssim_spatial(x, bf, space, impl="xla"))(af)
+    gx = jax.grad(lambda x: jnp.sum(ssim_parts_xla(x, bf)[0]) / n)(af)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gx), atol=1e-7)

@@ -350,9 +350,13 @@ def test_grad_data_range_scaling(rng, data_range):
 
 def test_grad_wide_column_chunked(rng):
     """Widths beyond GRAD_MAX_W column-chunk into overlapping windows;
-    the stitched gradients must be exact. Validated two ways: (a) a
-    forced small chunk width against the unchunked call (bitwise), and
-    (b) a genuinely wide image against the XLA autodiff VJP."""
+    the stitched gradients must be exact up to f32 blur rounding.
+    Validated two ways: (a) a forced small chunk width against the
+    unchunked call — NOT bitwise: the kernel's MXU lane chunking is
+    window-width-relative, so summation order shifts by ~1 ulp per blur
+    (measured max 4.8e-7); the windows feed on identical halo content,
+    so anything beyond ulp noise is a stitching bug — and (b) a
+    genuinely wide image against the XLA autodiff VJP."""
     import jax
     import jax.numpy as jnp
 
@@ -363,16 +367,24 @@ def test_grad_wide_column_chunked(rng):
     want_da, want_db = ssim_grad_pallas(
         a, b, 1.0, 0.25, data_range=1.0, interpret=True
     )
+    want_da, want_db = np.asarray(want_da), np.asarray(want_db)
     old = sg.GRAD_MAX_W, sg.GRAD_CHUNK_W
     sg.GRAD_MAX_W, sg.GRAD_CHUNK_W = 1200, 1024
     try:
+        # The patched globals are read at TRACE time; the first call's
+        # jit cache entry (same shapes + statics) would otherwise be
+        # reused and the chunked path never run (a review caught this
+        # check passing vacuously).
+        jax.clear_caches()
         da, db = ssim_grad_pallas(
             a, b, 1.0, 0.25, data_range=1.0, interpret=True
         )
+        tol = 2e-6 * max(1.0, float(np.abs(want_da).max()))
+        np.testing.assert_allclose(np.asarray(da), want_da, atol=tol)
+        np.testing.assert_allclose(np.asarray(db), want_db, atol=tol)
     finally:
         sg.GRAD_MAX_W, sg.GRAD_CHUNK_W = old
-    np.testing.assert_array_equal(np.asarray(da), np.asarray(want_da))
-    np.testing.assert_array_equal(np.asarray(db), np.asarray(want_db))
+        jax.clear_caches()  # drop the patched-globals trace too
 
     aw, bw = _float_pair(rng, 16, 8000)  # > GRAD_MAX_W: real chunking
     assert grad_pallas_supported(16, 8000)
