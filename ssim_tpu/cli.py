@@ -58,7 +58,7 @@ def main(argv=None) -> int:
     downsample = None
     accuracy = None
     dir_mode = False
-    batch_size = 8
+    batch_size = None  # --dir default 8; rejected outside --dir
     window = {}  # radius/sigma/k1/k2 overrides
 
     while argv and argv[0].startswith("-"):
@@ -107,6 +107,12 @@ def main(argv=None) -> int:
         print_help(sys.stderr)
         return 1
 
+    if not dir_mode and batch_size is not None:
+        # Accepting-and-ignoring would misreport what ran (same
+        # convention as --dir rejecting --ms/--downsample).
+        sys.stderr.write("--batch only applies to --dir mode\n")
+        return 1
+
     if dir_mode:
         if len(argv) != 2:
             sys.stderr.write("--dir takes exactly two directories\n")
@@ -120,10 +126,16 @@ def main(argv=None) -> int:
         from .utils.dataset import evaluate_directory
 
         enable_compile_cache()
-        policy = f"channel:{only_channel}" if only_channel >= 0 else "luminance"
+        # Same precedence as single-pair mode (compute_ssim_channels,
+        # reference src/ssim-cli.cpp:132-133): -y wins over -#.
+        policy = (
+            "luminance"
+            if luminance or only_channel < 0
+            else f"channel:{only_channel}"
+        )
         try:
             results = evaluate_directory(
-                argv[0], argv[1], batch_size=batch_size,
+                argv[0], argv[1], batch_size=batch_size or 8,
                 channel_policy=policy, impl=impl,
             )
         except Exception as e:

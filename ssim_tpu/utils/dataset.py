@@ -18,13 +18,35 @@ from .imageio import load_image, luminance_bt601
 
 
 def _to_gray(arr: np.ndarray, policy: str) -> np.ndarray:
+    if policy.startswith("channel:"):
+        ch = int(policy.split(":", 1)[1])
+        nch = 1 if arr.ndim == 2 else arr.shape[2]
+        if ch >= nch:
+            # Same contract as the single-pair CLI (cli.py): asking for a
+            # channel the image doesn't have is an error, not a silent
+            # fallback to the gray plane.
+            raise ValueError(
+                f"Cannot compute SSIM for channel {ch}, images have only "
+                f"{nch} channels"
+            )
+        return arr if arr.ndim == 2 else arr[:, :, ch]
     if arr.ndim == 2:
         return arr
     if policy == "luminance":
         return luminance_bt601(arr)
-    if policy.startswith("channel:"):
-        return arr[:, :, int(policy.split(":", 1)[1])]
     raise ValueError(f"unknown channel policy {policy!r} (luminance | channel:N)")
+
+
+def _decode_pair(pair, channel_policy):
+    """Decode + channel-reduce one (path_a, path_b) -> (name, a, b).
+    Shared by load_pairs and stream_batched_pairs (one copy of the
+    decode/validate logic)."""
+    pa, pb = pair
+    a = _to_gray(load_image(pa), channel_policy)
+    b = _to_gray(load_image(pb), channel_policy)
+    if a.shape != b.shape:
+        raise ValueError(f"size mismatch: {pa} {a.shape} vs {pb} {b.shape}")
+    return os.path.basename(pa), a, b
 
 
 def load_pairs(
@@ -34,17 +56,8 @@ def load_pairs(
     num_threads: int = 8,
 ) -> List[Tuple[str, np.ndarray, np.ndarray]]:
     """Decode image pairs concurrently -> [(name, a, b)] single-channel u8."""
-
-    def one(pair):
-        pa, pb = pair
-        a = _to_gray(load_image(pa), channel_policy)
-        b = _to_gray(load_image(pb), channel_policy)
-        if a.shape != b.shape:
-            raise ValueError(f"size mismatch: {pa} {a.shape} vs {pb} {b.shape}")
-        return os.path.basename(pa), a, b
-
     with ThreadPoolExecutor(max_workers=num_threads) as ex:
-        return list(ex.map(one, pairs))
+        return list(ex.map(lambda p: _decode_pair(p, channel_policy), pairs))
 
 
 def batched_pairs(
@@ -72,6 +85,13 @@ def batched_pairs(
             yield names, a, b
 
 
+#: stream_batched_pairs flushes its oldest partial group early once this
+#: many frames are buffered across groups (keeps memory bounded even when
+#: every pair has a distinct resolution — partial batches just recompile
+#: at a smaller leading dim, they don't change results).
+_MAX_BUFFERED_FACTOR = 4
+
+
 def stream_batched_pairs(
     pairs: Sequence[Tuple[str, str]],
     *,
@@ -80,30 +100,28 @@ def stream_batched_pairs(
     num_threads: int = 8,
     prefetch: int = 2,
 ) -> Iterator[Tuple[List[str], np.ndarray, np.ndarray]]:
-    """Streaming `batched_pairs`: constant memory, decode-ahead.
+    """Streaming `batched_pairs`: bounded memory, decode-ahead.
 
     `batched_pairs` decodes the WHOLE list before yielding anything —
     fine for suites, wrong for production streams (a 100k-pair job
     would hold every decoded frame in RAM). This variant keeps at most
     `prefetch * batch_size` decodes in flight ahead of the consumer, so
     host-side decode (the bottleneck at multi-Gpix/s device throughput)
-    overlaps the device compute of the previous batch. Pairs are still
-    grouped by resolution on the fly (XLA shapes are static); a group's
-    batch is yielded as soon as it fills, and partial groups flush at
-    the end in first-seen order.
+    overlaps the device compute of the previous batch. Pairs are grouped
+    by resolution on the fly (XLA shapes are static); a group's batch is
+    yielded as soon as it fills. Memory stays bounded even on streams
+    where every pair has a unique resolution: once more than
+    `_MAX_BUFFERED_FACTOR * batch_size` frames are buffered across
+    partial groups, the oldest group is flushed early as a smaller
+    batch. Remaining partial groups flush at the end (order follows each
+    group's most recent (re-)creation, not strict first-seen order).
     """
     from collections import OrderedDict, deque
 
-    def one(pair):
-        pa, pb = pair
-        a = _to_gray(load_image(pa), channel_policy)
-        b = _to_gray(load_image(pb), channel_policy)
-        if a.shape != b.shape:
-            raise ValueError(f"size mismatch: {pa} {a.shape} vs {pb} {b.shape}")
-        return os.path.basename(pa), a, b
-
     depth = max(1, prefetch) * batch_size
+    max_buffered = _MAX_BUFFERED_FACTOR * batch_size
     by_shape: "OrderedDict[tuple, list]" = OrderedDict()
+    buffered = 0
 
     def drain(items):
         names = [c[0] for c in items]
@@ -116,7 +134,9 @@ def stream_batched_pairs(
             while True:
                 while len(inflight) < depth:
                     try:
-                        inflight.append(ex.submit(one, next(it)))
+                        inflight.append(
+                            ex.submit(_decode_pair, next(it), channel_policy)
+                        )
                     except StopIteration:
                         break
                 if not inflight:
@@ -124,11 +144,23 @@ def stream_batched_pairs(
                 name, a, b = inflight.popleft().result()
                 group = by_shape.setdefault(a.shape, [])
                 group.append((name, a, b))
+                buffered += 1
                 if len(group) >= batch_size:
                     yield drain(group)
+                    buffered -= len(group)
                     del by_shape[a.shape]
+                elif buffered > max_buffered:
+                    # Bound memory on heterogeneous streams: flush the
+                    # oldest partial group as a smaller batch.
+                    shape, items = next(iter(by_shape.items()))
+                    yield drain(items)
+                    buffered -= len(items)
+                    del by_shape[shape]
         finally:
-            for f in inflight:  # surface decode errors, don't leak threads
+            # Don't leak threads: cancel queued decodes (their errors, if
+            # any, are discarded) and let the executor join running ones.
+            # Only the already-popped future's exception propagates.
+            for f in inflight:
                 f.cancel()
     for items in by_shape.values():
         yield drain(items)
@@ -150,7 +182,8 @@ def evaluate_directory(
 
     names = sorted(
         f for f in os.listdir(dir_a)
-        if os.path.isfile(os.path.join(dir_b, f))
+        if os.path.isfile(os.path.join(dir_a, f))
+        and os.path.isfile(os.path.join(dir_b, f))
         and f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp", ".tga"))
     )
     pairs = [(os.path.join(dir_a, f), os.path.join(dir_b, f)) for f in names]

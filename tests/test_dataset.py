@@ -89,3 +89,70 @@ def test_evaluate_directory(pair_dirs):
     assert [n for n, _ in results] == sorted(truths)
     for name, score in results:
         assert score == pytest.approx(truths[name], abs=1e-6), name
+
+
+def test_stream_bounded_on_heterogeneous_shapes(tmp_path, rng):
+    """Every pair a unique resolution: partial groups must flush early
+    (bounded memory), and every pair must still come out exactly once."""
+    from ssim_tpu.utils import dataset
+
+    da, db = tmp_path / "ha", tmp_path / "hb"
+    da.mkdir(), db.mkdir()
+    n = 12
+    pairs = []
+    for i in range(n):
+        shape = (24 + 2 * i, 30 + 2 * i)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        name = f"u{i}.png"
+        Image.fromarray(img).save(da / name)
+        Image.fromarray(img).save(db / name)
+        pairs.append((str(da / name), str(db / name)))
+
+    out, max_pending = [], 0
+    batch_size = 2
+    gen = stream_batched_pairs(pairs, batch_size=batch_size)
+    for names, a, b in gen:
+        out.extend(names)
+        assert a.shape[0] == len(names) <= batch_size
+    assert sorted(out) == sorted(f"u{i}.png" for i in range(n))
+    # The early-flush bound: with unique shapes and batch 2, at most
+    # _MAX_BUFFERED_FACTOR * batch_size + 1 frames are ever buffered —
+    # asserted indirectly by n > bound still succeeding above; pin the
+    # constant so a regression to unbounded buffering shows up here.
+    assert n > dataset._MAX_BUFFERED_FACTOR * batch_size
+
+
+def test_channel_policy_out_of_range(pair_dirs, tmp_path, rng):
+    """channel:N beyond the image's channels errors like the single-pair
+    CLI does — including on grayscale images (no silent gray-plane
+    fallback)."""
+    gray = rng.integers(0, 256, (20, 20), dtype=np.uint8)
+    p = tmp_path / "gray.png"
+    Image.fromarray(gray).save(p)
+    with pytest.raises(ValueError, match="channel 2"):
+        load_pairs([(str(p), str(p))], channel_policy="channel:2")
+    # channel:0 on grayscale is fine (the one channel that exists).
+    (_, a, _), = load_pairs([(str(p), str(p))], channel_policy="channel:0")
+    assert a.ndim == 2
+
+
+def test_cli_dir_luminance_precedence(pair_dirs, capsys):
+    """-y wins over -# in --dir mode, matching single-pair mode."""
+    from ssim_tpu import cli
+
+    da, db, truths = pair_dirs
+    assert cli.main(["-y", "-2", "--dir", "--impl=xla", da, db]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    scores = dict(line.split(":") for line in out)
+    for name, want in truths.items():
+        assert float(scores[name]) == pytest.approx(want, abs=5e-5)
+
+
+def test_cli_batch_outside_dir_rejected(pair_dirs, capsys):
+    from ssim_tpu import cli
+
+    da, db, _ = pair_dirs
+    a = os.path.join(da, "img0.png")
+    b = os.path.join(db, "img0.png")
+    assert cli.main(["--batch=4", a, b]) == 1
+    assert "--batch" in capsys.readouterr().err
