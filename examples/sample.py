@@ -11,8 +11,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-import sys
-
 import numpy as np
 
 from ssim_tpu import ImageView, compute_ssim

@@ -305,13 +305,7 @@ def ssim(
 
 
 def _relaxed(accuracy: str) -> bool:
-    if accuracy not in ("standard", "relaxed"):
-        from .errors import InvalidArgumentError
-
-        raise InvalidArgumentError(
-            f'accuracy must be "standard" or "relaxed", got {accuracy!r}'
-        )
-    return accuracy == "relaxed"
+    return engine.accuracy_is_relaxed(accuracy)
 
 
 @functools.partial(

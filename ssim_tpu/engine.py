@@ -92,6 +92,19 @@ def window_is_default(radius, sigma, k1, k2) -> bool:
     return _wid(radius, sigma, k1, k2)
 
 
+def accuracy_is_relaxed(accuracy) -> bool:
+    """Validate an accuracy tier name and return whether it is the
+    relaxed one. The single copy of the whitelist (api._relaxed and
+    engine.compute both call this)."""
+    if accuracy is None:
+        return False
+    if accuracy not in ("standard", "relaxed"):
+        raise InvalidArgumentError(
+            f'accuracy must be "standard" or "relaxed", got {accuracy!r}'
+        )
+    return accuracy == "relaxed"
+
+
 def finalize_mean(partials: np.ndarray, npix: int) -> np.ndarray:
     """f64 host reduction of f32 partial sums -> global SSIM.
 
@@ -214,13 +227,7 @@ def compute(
     downsample = resolve_downsample(downsample, a.shape[-2], a.shape[-1])
     if precision not in ("f32", "f64"):
         raise InvalidArgumentError(f"precision must be f32 or f64, got {precision!r}")
-    if accuracy is None:
-        accuracy = "standard"
-    if accuracy not in ("standard", "relaxed"):
-        raise InvalidArgumentError(
-            f'accuracy must be "standard" or "relaxed", got {accuracy!r}'
-        )
-    relaxed = accuracy == "relaxed"
+    relaxed = accuracy_is_relaxed(accuracy)
     if relaxed and precision == "f64":
         raise InvalidArgumentError(
             'accuracy="relaxed" contradicts precision="f64" — pick one tier'

@@ -139,15 +139,40 @@ def _transpose_band_matrices(tile_h: int, taps: np.ndarray, h: int, nh: int) -> 
     return v
 
 
+def _edge_fold_correction(t, r, out_w):
+    """The clamp-to-edge adjoint's folded tap mass at the two image-edge
+    lanes: out(0) += sum_{x=0}^{r-1} cl(x) wm(x) with cl(x) = sum_{k>x}
+    t(k), mirrored on the right. ONE copy of the correction math, shared
+    by the VPU roll transpose (_make_hpassT_roll) and the MXU transpose
+    (hpT_heavy in _grad_call); `plain` may be lane-padded wider than
+    out_w (extra lanes get no correction and are discarded by the
+    caller)."""
+    cl = [float(sum(t[r + x + 1 :])) for x in range(r)]
+
+    def add(plain, wm):
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, plain.shape, plain.ndim - 1
+        )
+        corr_l = sum(cl[x] * wm[..., x : x + 1] for x in range(r))
+        corr_r = sum(
+            cl[x] * wm[..., out_w - 1 - x : out_w - x] for x in range(r)
+        )
+        return (
+            plain
+            + jnp.where(lane == 0, corr_l, 0.0)
+            + jnp.where(lane == out_w - 1, corr_r, 0.0)
+        )
+
+    return add
+
+
 def _make_hpassT_roll(t, r, out_w):
     """Transpose of the clamped symmetric 11-tap horizontal blur over an
     unwidened (..., out_w) array. For interior lanes the adjoint equals
     the ZERO-extended symmetric blur (rolled lanes that wrapped are
     zeroed, not clamped); lanes 0 and out_w-1 additionally receive the
-    folded cumulative-tap mass of the r nearest weight-map lanes:
-    out(0) += sum_{x=0}^{r-1} cl(x) wm(x) with cl(x) = sum_{k>x} t(k)
-    (and mirrored on the right) — the adjoint of clamp-to-edge folding."""
-    cl = [float(sum(t[r + x + 1 :])) for x in range(r)]
+    folded clamp mass (_edge_fold_correction)."""
+    fold = _edge_fold_correction(t, r, out_w)
 
     def hpassT(wm):
         lane = jax.lax.broadcasted_iota(jnp.int32, wm.shape, wm.ndim - 1)
@@ -156,15 +181,7 @@ def _make_hpassT_roll(t, r, out_w):
             lo = jnp.where(lane < d, 0.0, jnp.roll(wm, d, axis=-1))
             hi = jnp.where(lane >= out_w - d, 0.0, jnp.roll(wm, -d, axis=-1))
             acc = acc + t[r - d] * (lo + hi)
-        corr_l = sum(cl[x] * wm[..., x : x + 1] for x in range(r))
-        corr_r = sum(
-            cl[x] * wm[..., out_w - 1 - x : out_w - x] for x in range(r)
-        )
-        return (
-            acc
-            + jnp.where(lane == 0, corr_l, 0.0)
-            + jnp.where(lane == out_w - 1, corr_r, 0.0)
-        )
+        return fold(acc, wm)
 
     return hpassT
 
@@ -179,8 +196,9 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
     v1 = jnp.asarray(_fwd_mid_band_matrices(tile_h, taps, h, nh))
     v2t = jnp.asarray(_transpose_band_matrices(tile_h, taps, h, nh))
     t = [float(x) for x in taps]
-    # Unit split (same as the forward's "mxu" lane mode, HIGHEST-
-    # precision = bit-exact): for wide images the u/v (stage 1) and
+    # Unit split (same as the forward's "mxu" lane mode; HIGHEST dots
+    # are f32-equivalent, not bit-equal): for wide images the u/v
+    # (stage 1) and
     # Wu/Wv (stage 2) horizontal passes stay on the VPU while the
     # heavier ss/dd and Wss/Wdd passes run as chunked banded matmuls on
     # the MXU over a concat-style widened band. Stage 2's adjoint blur
@@ -192,7 +210,7 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
     if use_mxu:
         hp = _make_hpass(t, r, w, co=r)
         hp_mxu = _make_hpass_mxu(w, exact=not relaxed)
-        cl = [float(sum(t[r + x + 1 :])) for x in range(r)]
+        fold = _edge_fold_correction(t, r, w)
     else:
         hp = _make_hpass_roll(t, r, w)
         hp_mxu = None
@@ -218,23 +236,13 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
             def hpT_heavy(wm):
                 # Adjoint blur, MXU plain part: zero-extend to the
                 # slice grid (adjoint of clamping folds, NOT replicas),
-                # then the symmetric tap matrix; fold corrections at
-                # the two image-edge lanes ride on the VPU.
+                # then the symmetric tap matrix; the folded clamp mass
+                # at the two image-edge lanes (_edge_fold_correction)
+                # rides on the VPU.
                 z = jnp.zeros(wm.shape[:-1] + (r,), wm.dtype)
                 zr = jnp.zeros(wm.shape[:-1] + (bw - w - r,), wm.dtype)
                 plain = hp_mxu(jnp.concatenate([z, wm, zr], axis=-1), hm)
-                lane = jax.lax.broadcasted_iota(
-                    jnp.int32, plain.shape, plain.ndim - 1
-                )
-                corr_l = sum(cl[x] * wm[..., x : x + 1] for x in range(r))
-                corr_r = sum(
-                    cl[x] * wm[..., w - 1 - x : w - x] for x in range(r)
-                )
-                return (
-                    plain
-                    + jnp.where(lane == 0, corr_l, 0.0)
-                    + jnp.where(lane == w - 1, corr_r, 0.0)
-                )
+                return fold(plain, wm)
         else:
             hp_heavy = hp
             hpT_heavy = hpT

@@ -88,12 +88,6 @@ import os as _os
 _LANE_MODE = _os.environ.get("SSIM_TPU_LANE_MODE", "auto")
 
 
-def _lane_roll_for(w: int) -> bool:
-    if _LANE_MODE != "auto":
-        return _LANE_MODE == "roll"
-    return w % 128 == 0
-
-
 #: Minimum width for the MXU lane mode (measured crossover on v5e; see
 #: _lane_mode_for). Below it the per-chunk matmul fixed costs beat the
 #: VPU savings.
@@ -156,8 +150,10 @@ def _make_hpass_mxu(w: int, exact: bool = True, co: int = RADIUS):
     — every slice start is vreg-aligned — right-multiplied by the
     banded tap matrix (hpass_tap_matrix, passed in as `hm`).
 
-    exact=True (the "mxu" mode) uses HIGHEST-precision dots: bit-
-    identical to the f32 VPU hpass. exact=False (the opt-in "mxu3x"
+    exact=True (the "mxu" mode) uses HIGHEST-precision dots:
+    f32-equivalent accuracy, NOT bit-equal to the VPU hpass (6-pass
+    bf16 arithmetic; per-pixel diffs up to ~1.1e-6 — see
+    _lane_mode_for's measurement note). exact=False (the opt-in "mxu3x"
     mode) uses a manual 3-pass bf16 split (x1h1 + x1h2 + x2h1, DEFAULT
     dots — bf16 products are exact in f32, so the error is the 2-term
     x/h splits' dropped residual ~2^-17 relative; a 4th x2h2 pass does
@@ -1258,7 +1254,7 @@ def pack_preferred(w: int, batch: int, itemsize: int = 1) -> bool:
     """Whether the packed path is measured faster for w-wide batches.
 
     Uses the width-only auto rule (w % 128 == 0 gets the roll lane mode
-    unpacked and never packs) rather than _lane_roll_for, so the
+    unpacked and never packs) independent of _LANE_MODE, so the
     SSIM_TPU_LANE_MODE benchmarking override changes only the hpass
     strategy, never the auto-routing packing decision."""
     if pack_count(w, batch, itemsize) < 2:

@@ -53,8 +53,10 @@ def make_runner(impl: str, with_map: bool, precise: bool = False,
     elif impl == "msssim":
         from ..models.msssim import ms_ssim
 
+        acc = "relaxed" if relaxed else "standard"
+
         def parts(a, b):
-            return ms_ssim(a, b, data_range=255.0), None
+            return ms_ssim(a, b, data_range=255.0, accuracy=acc), None
     elif impl == "auto":
         # Full routing policy (incl. the lane-packed small-image path).
         from ..ops.routing import ssim_parts_auto
