@@ -9,8 +9,12 @@ pyramid 12.6x faster (models/msssim._downsample2 — reshape-mean pooling
 forces relayouts on TPU; reduce_window does not).
 
 Numerics vs the host f64 version (engine.box_decimate): for uint8
-inputs the f32 window sum is EXACT (k^2 * 255 < 2^24 for every k the
-resolver can produce); the final division by the exact constant k^2 is
+inputs the f32 window sum is EXACT whenever k^2 * 255 < 2^24, i.e.
+k <= 256 — which covers every AUTOMATIC factor (round(min/256) stays
+far below that) and any sane explicit one; an explicit user factor
+k >= 257 loses the exact-sum guarantee and degrades gracefully to
+~1-ulp-per-addition accumulation error (still orders below the metric
+tolerances); the final division by the exact constant k^2 is
 then within 1 ulp of the true mean — XLA rewrites divide-by-constant
 into multiply-by-reciprocal, and TPU hardware division is
 reciprocal-based anyway (measured: both return the same 1-ulp-off value

@@ -34,9 +34,14 @@ def initialize(
     in an already-initialized process is a no-op.
     """
     import jax
-    from jax._src import distributed as _dist
 
-    if getattr(_dist.global_state, "client", None) is not None:
+    try:
+        already = jax.distributed.is_initialized()  # public since jax 0.4.x
+    except AttributeError:  # very old jax: fall back to the private state
+        from jax._src import distributed as _dist
+
+        already = getattr(_dist.global_state, "client", None) is not None
+    if already:
         return  # already initialized
     kwargs = {}
     if coordinator_address is not None:
@@ -59,13 +64,26 @@ def global_mesh(shape: Sequence[int], axis_names: Sequence[str]):
     """
     import jax
 
+    from .mesh import make_mesh
+
     n = int(np.prod(tuple(shape)))
     devices = jax.devices()
     if len(devices) < n:
         raise ValueError(f"need {n} devices across all hosts, have {len(devices)}")
-    return jax.sharding.Mesh(
-        np.array(devices[:n]).reshape(tuple(shape)), tuple(axis_names)
-    )
+    covered = {d.process_index for d in devices[:n]}
+    if len(covered) != jax.process_count():
+        # A mesh that excludes whole processes leaves them with no
+        # addressable shard; distribute_batch there fails with an opaque
+        # error — raise the targeted one here instead.
+        raise ValueError(
+            f"mesh shape {tuple(shape)} covers devices from {len(covered)} "
+            f"of {jax.process_count()} processes; every process must own "
+            f"part of the mesh (use more mesh devices or fewer processes)"
+        )
+    # jax.devices() is already the GLOBAL device set after initialize(),
+    # so the single-process constructor builds the cross-host mesh too
+    # (one copy of the mesh-building code, per review).
+    return make_mesh(tuple(shape), tuple(axis_names))
 
 
 def distribute_batch(local_batch: np.ndarray, mesh, axis: str = "data"):

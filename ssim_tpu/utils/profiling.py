@@ -27,11 +27,11 @@ def trace(log_dir: str) -> Iterator[None]:
         jax.profiler.stop_trace()
 
 
-@contextlib.contextmanager
-def annotate(name: str) -> Iterator[None]:
-    """Named region in the trace timeline (TraceAnnotation)."""
-    with jax.profiler.TraceAnnotation(name):
-        yield
+#: Named region in the trace timeline. A direct alias of
+#: jax.profiler.TraceAnnotation (same context-manager call syntax) —
+#: a generator wrapper would only add a host-side frame per region
+#: entry/exit in exactly the hot loops annotations are used in.
+annotate = jax.profiler.TraceAnnotation
 
 
 class Timer:

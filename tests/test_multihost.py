@@ -35,6 +35,15 @@ assert len(jax.devices()) == 8, len(jax.devices())
 
 mesh = multihost.global_mesh((8,), ("data",))
 
+# A mesh that excludes a whole process must raise the targeted error
+# (review finding: it used to fail opaquely inside distribute_batch).
+try:
+    multihost.global_mesh((4,), ("data",))
+except ValueError as e:
+    assert "every process" in str(e), e
+else:
+    raise SystemExit("expected ValueError for a mesh excluding process 1")
+
 # Each process holds only ITS half of the batch (4 images), seeded so
 # the union is the same 8-image batch the single-process check uses.
 rng = np.random.default_rng(1000 + pid)
