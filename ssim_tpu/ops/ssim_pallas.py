@@ -86,6 +86,9 @@ TILE_W = 4096
 import os as _os
 
 _LANE_MODE = _os.environ.get("SSIM_TPU_LANE_MODE", "auto")
+#: Benchmarking knob: in mxu/mxu3x lane mode, run the two mu horizontal
+#: blurs on the MXU as well (default: VPU, overlapping the two units).
+_MU_MXU = _os.environ.get("SSIM_TPU_MU_MXU", "0") == "1"
 
 
 #: Minimum width for the MXU lane mode (measured crossover on v5e; see
@@ -629,9 +632,14 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
                 precision=jax.lax.Precision.HIGHEST,
             )
 
+        hpass_mu = (
+            hpass_heavy
+            if _MU_MXU and lane_mode in ("mxu", "mxu3x")
+            else hpass
+        )
         blurs = (
-            hpass(vpass(af)),
-            hpass(vpass(bf)),
+            hpass_mu(vpass(af)),
+            hpass_mu(vpass(bf)),
             hpass_heavy(vpass(s * s)),
             hpass_heavy(vpass(d * d)),
         )
@@ -880,9 +888,14 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
                 precision=jax.lax.Precision.HIGHEST,
             )
 
+        hpass_mu = (
+            hpass_heavy
+            if _MU_MXU and lane_mode in ("mxu", "mxu3x")
+            else hpass
+        )
         blurs = (
-            hpass(vpass(af)),
-            hpass(vpass(bf)),
+            hpass_mu(vpass(af)),
+            hpass_mu(vpass(bf)),
             hpass_heavy(vpass(s * s)),
             hpass_heavy(vpass(d * d)),
         )
