@@ -112,17 +112,34 @@ def _ms_pallas_forward(a, b, data_range, weights, interpret, diff=False,
     the custom-VJP sums (fused backward kernel), making the whole pyramid
     natively differentiable — the _downsample2 reduce_window between
     scales has a standard XLA gradient."""
-    from ..ops.ssim_pallas import ssim_components_pallas
+    from ..ops.ssim_pallas import (
+        pooled_components_ok,
+        ssim_components_pallas,
+        ssim_components_pooled_pallas,
+    )
 
     levels = len(weights)
     x_a, x_b = a, b
     result = None
     for lvl, w in enumerate(weights):
         n = x_a.shape[-2] * x_a.shape[-1]
+        pooled = None
         if diff:
             sums = _cs_ssim_sums_diff(
                 data_range, interpret, relaxed, sigma, k1, k2
             )(x_a, x_b) / n
+        elif lvl < levels - 1 and pooled_components_ok(x_a.shape, x_a.dtype):
+            # u8 scale: one launch returns the sums AND the exact pooled
+            # next-scale inputs (the fused pool_out mode) — drops the
+            # scale-0 reduce_window pass, the biggest fixed cost of the
+            # pyramid after the kernels themselves (docs/RESULTS.md
+            # "MS-SSIM structural limit").
+            parts, pa, pb = ssim_components_pooled_pallas(
+                x_a, x_b, data_range=data_range, interpret=interpret,
+                relaxed=relaxed, sigma=sigma, k1=k1, k2=k2,
+            )
+            sums = jnp.sum(parts, axis=-2) / n
+            pooled = (pa, pb)
         else:
             parts = ssim_components_pallas(
                 x_a, x_b, data_range=data_range, interpret=interpret,
@@ -134,8 +151,11 @@ def _ms_pallas_forward(a, b, data_range, weights, interpret, diff=False,
             term = jnp.maximum(sums[..., 1], 1e-6) ** w
         else:
             term = jnp.maximum(sums[..., 0], 1e-6) ** w
-            x_a = _downsample2(x_a.astype(jnp.float32))
-            x_b = _downsample2(x_b.astype(jnp.float32))
+            if pooled is not None:
+                x_a, x_b = pooled
+            else:
+                x_a = _downsample2(x_a.astype(jnp.float32))
+                x_b = _downsample2(x_b.astype(jnp.float32))
         result = term if result is None else result * term
     return result
 

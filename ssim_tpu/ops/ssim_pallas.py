@@ -527,7 +527,7 @@ def clamped_band_matrices(tile_h: int, band: int, taps: np.ndarray,
 
 def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h,
                         precise=False, components=False, clip_bound=131072.0,
-                        colsum=False, relaxed=False):
+                        colsum=False, relaxed=False, pool_out=False):
     """Zero-copy fast path: the RAW (B, H, W) images are consumed directly
     by the kernel — no padding pass at all. Each instance reads three
     row blocks per image (prev/cur/next via clamped index maps; ragged
@@ -689,8 +689,59 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
         if with_map:
             map_ref, sum_ref = out_refs
             map_ref[0] = ssim
+        elif pool_out:
+            sum_ref, pa_ref, pb_ref = out_refs
         else:
             (sum_ref,) = out_refs
+
+        if pool_out:
+            # Fused 2x2-mean pool of the raw u8 tiles (the MS-SSIM
+            # scale-0 downsample) — EXACT, via MXU matmuls with 2-hot
+            # pooling matrices, sidestepping Mosaic's unsupported
+            # stride-2 slicing (docs/RESULTS.md "MS-SSIM structural
+            # limit"). Exactness: u8 values are bf16-representable, so
+            # the vertical pairing (pv @ x, DEFAULT precision) is exact
+            # in the MXU's f32 accumulator; the row-pair sums (<= 510
+            # integer, up to 9 significant bits) are NOT bf16-exact, so
+            # the horizontal pairing splits them into bf16-exact
+            # y_hi + y_lo (|y_lo| <= 2 after round-to-nearest) and sums
+            # two DEFAULT-precision dots. Output rows past h//2 pool
+            # ragged-tile garbage (finite for u8) and are sliced off by
+            # the caller.
+            th2, w2 = tile_h // 2, w // 2
+            prid = jax.lax.broadcasted_iota(jnp.int32, (th2, tile_h), 0)
+            pcid = jax.lax.broadcasted_iota(jnp.int32, (th2, tile_h), 1)
+            pv = jnp.where(pcid // 2 == prid, 1.0, 0.0).astype(jnp.float32)
+            hrid = jax.lax.broadcasted_iota(jnp.int32, (128, 64), 0)
+            hcid = jax.lax.broadcasted_iota(jnp.int32, (128, 64), 1)
+            ph = jnp.where(hrid // 2 == hcid, 1.0, 0.0).astype(jnp.float32)
+
+            def pool2(cur_ref):
+                x = cur_ref[0].astype(jnp.int32).astype(jnp.float32)
+                y = jax.lax.dot_general(
+                    pv, x, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                y_hi = y.astype(jnp.bfloat16).astype(jnp.float32)
+                y_lo = y - y_hi
+                cols = []
+                for c in range(0, 2 * w2, 128):
+                    n_in = min(128, 2 * w2 - c)
+                    seg_m = ph[:n_in, : n_in // 2]
+                    d = None
+                    for part in (y_hi, y_lo):
+                        dd = jax.lax.dot_general(
+                            part[:, c : c + n_in], seg_m,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        d = dd if d is None else d + dd
+                    cols.append(d)
+                p = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
+                return p * 0.25
+
+            pa_ref[0] = pool2(ac_ref)
+            pb_ref[0] = pool2(bc_ref)
 
         # No in-kernel masking of the last ragged tile (a lax.cond
         # masked-sum measured 2.3% of 4K throughput): its out-of-image
@@ -757,6 +808,16 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
             pl.BlockSpec((1, 1, 1, n_sums), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.SMEM)
         )
+    if pool_out:
+        th2, w2 = tile_h // 2, w // 2
+        for _ in range(2):
+            out_shapes.append(
+                jax.ShapeDtypeStruct((batch, nh * th2, w2), jnp.float32)
+            )
+            out_specs.append(
+                pl.BlockSpec((1, th2, w2), lambda bi, i: (bi, i, 0),
+                             memory_space=pltpu.VMEM)
+            )
 
     outs = pl.pallas_call(
         kernel,
@@ -774,6 +835,9 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
     if with_map:
         map_padded, tile_sums = outs
         ssim_map = map_padded[:, :h, :]
+    elif pool_out:
+        tile_sums, pool_a, pool_b = outs
+        ssim_map = (pool_a[:, : h // 2, :], pool_b[:, : h // 2, :])
     else:
         (tile_sums,) = outs
         ssim_map = None
@@ -1249,6 +1313,84 @@ def ssim_components_pallas(
     if squeeze:
         partials = partials[0]
     return partials
+
+
+def pooled_components_ok(shape, dtype) -> bool:
+    """Whether ssim_components_pooled_pallas accepts this geometry: u8
+    pairs on the zero-copy fast path (the pooled outputs ride the same
+    tile grid; the chunked wide path has no pooled mode)."""
+    h, w = shape[-2], shape[-1]
+    return (
+        dtype == jnp.uint8
+        and h >= 2
+        and w >= 2
+        and _round_up(w + 2 * RADIUS, 128) <= TILE_W + COL_OVERLAP
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("data_range", "interpret", "max_tile_h", "relaxed",
+                     "sigma", "k1", "k2"),
+)
+def ssim_components_pooled_pallas(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    data_range: float = 255.0,
+    interpret: bool = False,
+    max_tile_h: Optional[int] = None,
+    relaxed: bool = False,
+    sigma: float = SIGMA,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """ssim_components_pallas fused with the MS-SSIM pyramid's 2x2-mean
+    downsample of the inputs: one kernel launch returns the per-tile
+    [cs, ssim] sums AND the exact pooled next-scale images, removing the
+    separate reduce_window pass (and its HBM round trip) between scale 0
+    and scale 1 of models/msssim.py. u8 fast-path geometries only —
+    gate callers on pooled_components_ok.
+
+    Returns (parts (..., K, 2), pooled_a, pooled_b) with the pooled
+    images f32 (..., H//2, W//2), bit-identical to _downsample2 (both
+    are exact f32 arithmetic on u8 data; see the pool_out kernel note).
+    """
+    if not (a.dtype == jnp.uint8 and b.dtype == jnp.uint8):
+        raise ValueError(
+            f"pooled components kernel takes uint8 pairs, got "
+            f"{a.dtype}/{b.dtype}"
+        )
+    squeeze = a.ndim == 2
+    if squeeze:
+        a = a[None]
+        b = b[None]
+    batch, h, w = a.shape
+    if not pooled_components_ok(a.shape, a.dtype):
+        raise ValueError(
+            f"geometry {h}x{w} not eligible for the pooled components "
+            f"kernel (u8 fast path only)"
+        )
+    taps = gaussian_taps(np.float32, RADIUS, sigma)
+    c1 = float((k1 * data_range) ** 2)
+    c2 = float((k2 * data_range) ** 2)
+    if c1 * c2 < 9e-32:
+        raise ValueError(
+            f"k1/k2 too small for data_range {data_range}: c1*c2 = "
+            f"{c1 * c2:g} degenerates in f32 (needs >= 9e-32)"
+        )
+    tile_h = max_tile_h if max_tile_h is not None else _pick_tile_h(h, w)
+    partials, (pool_a, pool_b) = _nopad_overlap_call(
+        a, b, h, w, taps, c1, c2, False, interpret, tile_h,
+        components=True, clip_bound=max(131072.0, 4.0 * float(data_range)),
+        relaxed=relaxed, pool_out=True,
+    )
+    partials = partials.reshape(batch, -1, 2)
+    if squeeze:
+        partials = partials[0]
+        pool_a = pool_a[0]
+        pool_b = pool_b[0]
+    return partials, pool_a, pool_b
 
 
 #: Widest image the packed-batch path packs. Measured on v5e (packed vs
