@@ -161,7 +161,8 @@ def _pallas_forward_with_xla_vjp(pallas_fn, xla_fn):
 
 
 def _pallas_with_pallas_vjp(pallas_fn, data_range, interpret, n, with_map,
-                            relaxed=False, sigma=1.5, k1=0.01, k2=0.03):
+                            relaxed=False, radius=5, sigma=1.5, k1=0.01,
+                            k2=0.03):
     """Fully TPU-native differentiable wrapper: fused-kernel forward AND
     fused-kernel analytic backward (ops/ssim_grad.py) — no XLA-formulation
     compile anywhere in the training path. The score is sum(SSIM)/n, so
@@ -189,7 +190,7 @@ def _pallas_with_pallas_vjp(pallas_fn, data_range, interpret, n, with_map,
         return ssim_grad_pallas(
             xa, xb, jnp.asarray(g_score, jnp.float32) / n, 0.0, g_map,
             data_range=data_range, interpret=interpret, relaxed=relaxed,
-            sigma=sigma, k1=k1, k2=k2,
+            radius=radius, sigma=sigma, k1=k1, k2=k2,
         )
 
     f.defvjp(f_fwd, f_bwd)
@@ -231,11 +232,13 @@ def _run_metric(a, b, impl, data_range, with_map, relaxed=False,
             radius=radius, sigma=sigma, k1=k1, k2=k2,
         ))
 
+    from .ops.ssim_pallas import MAX_FUSED_RADIUS
+
     resolved = select_impl(impl)
     if (
         resolved != Implementation.PALLAS
         or not pallas_routable(a, b)
-        or radius != 5  # the fused kernel's halo geometry is radius-5
+        or radius > MAX_FUSED_RADIUS  # beyond the fused halo geometry
     ):
         # The plain XLA formulation — differentiable by ordinary autodiff.
         return xla_fn(a, b)
@@ -247,7 +250,7 @@ def _run_metric(a, b, impl, data_range, with_map, relaxed=False,
             ssim_parts_auto(
                 xa, xb, with_map=with_map, data_range=data_range,
                 interpret=interpret, relaxed=relaxed,
-                sigma=sigma, k1=k1, k2=k2,
+                radius=radius, sigma=sigma, k1=k1, k2=k2,
             )
         )
 
@@ -257,15 +260,16 @@ def _run_metric(a, b, impl, data_range, with_map, relaxed=False,
     from .ops.ssim_grad import grad_pallas_supported
 
     if a.dtype == jnp.float32 and grad_pallas_supported(
-        a.shape[-2], a.shape[-1]
+        a.shape[-2], a.shape[-1], radius
     ):
         # f32 calls get the fully TPU-native path: fused forward + fused
         # analytic backward (the map cotangent rides as the kernel's
         # per-pixel g_map input; widths beyond one kernel call are
-        # column-chunked inside ssim_grad_pallas). f64/u16 inputs keep
-        # the XLA-formulation VJP.
+        # column-chunked inside ssim_grad_pallas; the backward's halo
+        # geometry, like the forward's, is radius-generic up to
+        # MAX_FUSED_RADIUS). f64/u16 inputs keep the XLA-formulation VJP.
         f = _pallas_with_pallas_vjp(pallas_fn, data_range, interpret, n,
-                                    with_map, relaxed=relaxed,
+                                    with_map, relaxed=relaxed, radius=radius,
                                     sigma=sigma, k1=k1, k2=k2)
     else:
         f = _pallas_forward_with_xla_vjp(pallas_fn, xla_fn)
@@ -296,8 +300,10 @@ def ssim(
 
     radius/sigma/k1/k2 (extension): custom window and stabilization
     constants; sigma/k1/k2 keep the fused kernels (including the fused
-    backward), a non-default radius rides the XLA formulation (plain
-    autodiff). See engine.compute.
+    backward), and so does any radius <= MAX_FUSED_RADIUS (16) —
+    forward AND analytic backward build their halo geometry from the
+    taps at trace time (radius > 16 rides XLA end-to-end). See
+    engine.compute.
     """
     return _run_metric(a, b, impl, data_range, with_map=False,
                        relaxed=_relaxed(accuracy), radius=radius,

@@ -92,6 +92,27 @@ def window_is_default(radius, sigma, k1, k2) -> bool:
     return _wid(radius, sigma, k1, k2)
 
 
+def _max_fused_radius() -> int:
+    """Lazy MAX_FUSED_RADIUS (importing ops.ssim_pallas pulls in pallas)."""
+    from .ops.ssim_pallas import MAX_FUSED_RADIUS
+
+    return MAX_FUSED_RADIUS
+
+
+def _exact_f32_cast(dt) -> bool:
+    """Dtypes that embed exactly in float32, so the df32 precise tier
+    loses nothing casting to its f32 working type: u8 (native), u16,
+    f16/bf16 (widening), f32 itself. f64 inputs would round BEFORE the
+    compensated arithmetic could see the low bits — those keep the host
+    f64 oracle."""
+    dt = np.dtype(dt)
+    return (
+        dt in (np.dtype(np.uint8), np.dtype(np.uint16),
+               np.dtype(np.float16), np.dtype(np.float32))
+        or dt.name == "bfloat16"
+    )
+
+
 def accuracy_is_relaxed(accuracy) -> bool:
     """Validate an accuracy tier name and return whether it is the
     relaxed one. The single copy of the whitelist (api._relaxed and
@@ -188,8 +209,12 @@ def compute(
     hardware f64, so the f64 mode is TPU-native compensated double-float:
     the fused kernel evaluates the SSIM formula and all reductions in
     df32 (ssim_parts_pallas(precise=True)), measured 2+ orders of
-    magnitude inside the reference double build's error tier; non-u8
-    inputs or non-Pallas impls fall back to the host NumPy f64 oracle.
+    magnitude inside the reference double build's error tier for u8
+    (whose squares are f32-exact); u16/f16/bf16/f32 inputs ride the same
+    tier with one extra product rounding (~2^-24 relative) — still well
+    inside the double build's 5e-7 bound. f64 inputs (the f32 cast would
+    round before compensation), mixed dtypes, and non-Pallas impls fall
+    back to the host NumPy f64 oracle.
     accuracy: "standard" (default) or "relaxed" — the fused kernel's
     opt-in fast tier (bf16-split MXU blurs on wide images, ~16-18 vs
     ~13-14 Gpix/s on v5e; error typically <=2e-7 but bounded at
@@ -205,10 +230,13 @@ def compute(
     radius/sigma/k1/k2 (extension; defaults = the reference contract,
     src/ssim.cpp:227-228 and :956-960): the Gaussian window's radius and
     spread and the stabilization constants, skimage/torchmetrics-style.
-    sigma/k1/k2 ride every device path (trace-time taps/constants); a
-    non-default radius routes to the XLA path (the fused kernel's halo
-    geometry is radius-5) or, with precision="f64", the f64 oracle.
-    Unsupported with impl="host" (the C backend pins the contract window).
+    sigma/k1/k2 ride every device path (trace-time taps/constants), and
+    so does any radius <= MAX_FUSED_RADIUS (16) — the fused kernels
+    build their halo geometry from the taps at trace time, unlike the
+    reference, whose fast paths hardcode radius 5 (src/ssim.cpp:364-449).
+    Larger radii route to the XLA path or, with precision="f64", the f64
+    oracle. Unsupported with impl="host" (the C backend pins the
+    contract window).
     Returns (global_ssim float64 scalar or (B,), map f32 or None).
     """
     from .config import get_config
@@ -242,14 +270,17 @@ def compute(
     precise = precision == "f64"
     if precise and not (
         impl == Implementation.PALLAS
-        and downsample == 1
-        and radius == 5
-        and a.dtype == np.uint8
-        and b.dtype == np.uint8
+        and radius <= _max_fused_radius()
+        and a.dtype == b.dtype
+        and _exact_f32_cast(a.dtype)
     ):
         # The TPU-native double mode lives in the fused kernel (compensated
-        # df32, ssim_parts_pallas(precise=True)); every other combination
-        # (including pooled inputs, which are float) gets the NumPy f64
+        # df32, ssim_parts_pallas(precise=True)): u8 natively, and any
+        # dtype that embeds exactly in f32 (u16/f16/bf16/f32) through the
+        # kernel's sanitized float path — including downsample-pooled
+        # inputs, which are device f32. What the kernel cannot serve
+        # exactly (f64 inputs — the cast would round before compensation
+        # — mixed dtypes, radius > 16, other impls) gets the NumPy f64
         # oracle.
         impl = Implementation.REFERENCE
     if downsample > 1:

@@ -56,12 +56,15 @@ def ssim_parts_auto(
     honors it too (its packed rows are wide even when the images are
     small).
 
-    radius/sigma/k1/k2 generalize the window (extension): a non-default
-    radius routes to the XLA path (the fused kernel's halo geometry is
-    radius-5); sigma/k1/k2 ride the fused kernel (trace-time taps and
-    constants) on every route, including the lane-packed fast path (its
-    RADIUS-wide gutters isolate the window for any tap values)."""
+    radius/sigma/k1/k2 generalize the window (extension): every radius
+    up to MAX_FUSED_RADIUS (16) rides the fused kernels — the halo
+    geometry is built from the taps at trace time — and larger radii
+    route to the XLA path; sigma/k1/k2 ride the fused kernel (trace-time
+    taps and constants) on every route, including the lane-packed fast
+    path (its radius-wide gutters isolate the window for any tap
+    values)."""
     from .ssim_pallas import (
+        MAX_FUSED_RADIUS,
         pack_preferred,
         ssim_parts_pallas,
         ssim_parts_pallas_packed,
@@ -78,18 +81,19 @@ def ssim_parts_auto(
             and not tile_kwargs
             and a.ndim == 3
             and data_range >= 1e-6
-            and pack_preferred(a.shape[-1], a.shape[0], itemsize=itemsize)
+            and pack_preferred(a.shape[-1], a.shape[0], itemsize=itemsize,
+                               radius=radius)
             and a.shape[-2] * a.shape[-1] < 1 << 24
         )
 
-    if radius != 5:
+    if radius > MAX_FUSED_RADIUS:
         if precise:
-            # The engine routes precise + custom radius to the f64 oracle
-            # before reaching here; a direct caller would otherwise get a
-            # silently non-compensated XLA result.
+            # The engine routes precise + oversized radius to the f64
+            # oracle before reaching here; a direct caller would
+            # otherwise get a silently non-compensated XLA result.
             raise ValueError(
-                "precise=True with a non-default radius is not available "
-                "on device paths — use the f64 oracle "
+                f"precise=True with radius > {MAX_FUSED_RADIUS} is not "
+                "available on device paths — use the f64 oracle "
                 "(engine.compute(precision='f64', radius=...))"
             )
         return ssim_parts_xla(
@@ -103,12 +107,12 @@ def ssim_parts_auto(
             # Gpix/s; see PACK_MAX_W's comment for the width policy).
             return ssim_parts_pallas_packed(
                 a, b, data_range=data_range, interpret=interpret,
-                relaxed=relaxed, sigma=sigma, k1=k1, k2=k2,
+                relaxed=relaxed, radius=radius, sigma=sigma, k1=k1, k2=k2,
             ), None
         return ssim_parts_pallas(
             a, b, with_map=with_map, data_range=data_range,
             interpret=interpret, precise=precise, relaxed=relaxed,
-            sigma=sigma, k1=k1, k2=k2, **tile_kwargs,
+            radius=radius, sigma=sigma, k1=k1, k2=k2, **tile_kwargs,
         )
     if a.dtype == b.dtype and _is_float_routable(a.dtype):
         af = a.astype(jnp.float32)
@@ -119,13 +123,14 @@ def ssim_parts_auto(
             return ssim_parts_pallas_packed(
                 af, bf, data_range=data_range, interpret=interpret,
                 allow_float=True, relaxed=relaxed,
-                sigma=sigma, k1=k1, k2=k2,
+                radius=radius, sigma=sigma, k1=k1, k2=k2,
             ), None
         return ssim_parts_pallas(
             af, bf,
             with_map=with_map, data_range=data_range,
             interpret=interpret, precise=precise, allow_float=True,
-            relaxed=relaxed, sigma=sigma, k1=k1, k2=k2, **tile_kwargs,
+            relaxed=relaxed, radius=radius, sigma=sigma, k1=k1, k2=k2,
+            **tile_kwargs,
         )
     return ssim_parts_xla(
         a, b, with_map=with_map, data_range=data_range,

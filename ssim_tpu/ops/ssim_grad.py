@@ -41,14 +41,16 @@ single folded correction at lane 0 and lane w-1 (_make_hpassT_roll).
 
 TPU-first design, same skeleton as the forward fast path
 (ops/ssim_pallas.py): one fused kernel over a (batch, row-tile) grid,
-zero-copy prev/cur/next row blocks with 16-row halos (the backward is a
-TWO-level blur: output rows need weight maps within r, which need
-blurred signals within r, which need input within 2r = 10 rows), the
-forward blurs recomputed in VMEM (recompute beats saving four blurred
-maps to HBM), both vertical passes as MXU band matmuls, both horizontal
-passes VPU roll-mode. Work is ~8 blur-equivalents vs the forward's 4, so
-the speed-of-light target for (da, db) together is ~1/2 the forward
-throughput.
+zero-copy prev/cur/next row blocks with 2r-row halos rounded to the
+8-row sublane tile (the backward is a TWO-level blur: output rows need
+weight maps within r, which need blurred signals within r, which need
+input within 2r rows — the halo geometry is built from the radius at
+trace time, so any radius <= MAX_FUSED_RADIUS rides this kernel,
+matching the forward), the forward blurs recomputed in VMEM (recompute
+beats saving four blurred maps to HBM), both vertical passes as MXU band
+matmuls, both horizontal passes VPU roll-mode. Work is ~8
+blur-equivalents vs the forward's 4, so the speed-of-light target for
+(da, db) together is ~1/2 the forward throughput.
 """
 
 import functools
@@ -62,7 +64,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..windows import RADIUS, SIGMA, gaussian_taps
 from .ssim_pallas import (
+    MAX_FUSED_RADIUS,
     MXU_MIN_W,
+    _halo_rows,
     _make_hpass,
     _make_hpass_mxu,
     _make_hpass_roll,
@@ -77,33 +81,40 @@ from .ssim_pallas import (
 #: so any width is supported.
 GRAD_MAX_W = 7680
 
-#: Owned columns per chunk in the wide (column-chunked) backward path.
-#: Sized so each chunk's kernel window (owned + 2*RADIUS halo columns per
-#: side) is exactly GRAD_MAX_W, the validated per-call maximum — fewest
-#: launches/compiles per image (w=8000: two windows, not three).
-GRAD_CHUNK_W = GRAD_MAX_W - 4 * RADIUS
+def grad_pallas_supported(h: int, w: int, radius: int = RADIUS) -> bool:
+    """Whether ssim_grad_pallas handles an h x w image at this window
+    radius (else: XLA VJP). Any width > radius works since the
+    column-chunked wide path; the halo geometry is built from the taps
+    at trace time, so every radius <= MAX_FUSED_RADIUS rides the fused
+    backward (matching the forward's bound)."""
+    return w > radius and h >= 1 and 1 <= radius <= MAX_FUSED_RADIUS
 
 
-def grad_pallas_supported(h: int, w: int) -> bool:
-    """Whether ssim_grad_pallas handles an h x w image (else: XLA VJP).
-    Any width > RADIUS works since the column-chunked wide path."""
-    return w > RADIUS and h >= 1
+def _grad_geometry(tile_h: int, r: int):
+    """The backward's vertical halo geometry for window radius r: the
+    input-band margin hb2 (rows taken from each neighbor block — the
+    two-level blur needs 2r, rounded up to the 8-row sublane tile) and
+    the mid-band margin mb (rows of blurred signals/weight maps beyond
+    the tile each side — needs >= r, rounded likewise)."""
+    return _halo_rows(2 * r), _halo_rows(r)
 
 
-def _fwd_mid_band_matrices(tile_h: int, taps: np.ndarray, h: int, nh: int) -> np.ndarray:
-    """Stage-1 vertical blur matrices: input band (tile_h + 32 rows,
-    image rows i*tile_h - 16 + k via the clamped prev/cur/next concat) ->
-    blurred signals at the MID rows (tile_h + 16 rows, image rows
-    i*tile_h - 8 + m). Clamp-to-edge folded in; out-of-image mid rows and
+def _fwd_mid_band_matrices(tile_h: int, taps: np.ndarray, h: int,
+                           nh: int) -> np.ndarray:
+    """Stage-1 vertical blur matrices: input band (tile_h + 2*hb2 rows,
+    image rows i*tile_h - hb2 + k via the clamped prev/cur/next concat) ->
+    blurred signals at the MID rows (tile_h + 2*mb rows, image rows
+    i*tile_h - mb + m). Clamp-to-edge folded in; out-of-image mid rows and
     the wrong-content halo columns at i=0 / i=nh-1 get zero weight
     (same construction as ssim_pallas.clamped_band_matrices)."""
     r = len(taps) // 2
-    mid, band = tile_h + 16, tile_h + 32
+    hb2, mb = _grad_geometry(tile_h, r)
+    mid, band = tile_h + 2 * mb, tile_h + 2 * hb2
     v = np.zeros((nh, mid, band), np.float32)
     for i in range(nh):
-        base = i * tile_h - 16
+        base = i * tile_h - hb2
         for m in range(mid):
-            g = i * tile_h - 8 + m
+            g = i * tile_h - mb + m
             if not 0 <= g < h:
                 continue
             for d in range(len(taps)):
@@ -114,21 +125,23 @@ def _fwd_mid_band_matrices(tile_h: int, taps: np.ndarray, h: int, nh: int) -> np
     return v
 
 
-def _transpose_band_matrices(tile_h: int, taps: np.ndarray, h: int, nh: int) -> np.ndarray:
+def _transpose_band_matrices(tile_h: int, taps: np.ndarray, h: int,
+                             nh: int) -> np.ndarray:
     """Stage-2 vertical matrices: the TRANSPOSE of the whole-image clamped
     vertical blur, restricted to (output tile rows) x (mid rows). Entry
-    [i, y, m] is the adjoint weight of weight-map row g = i*tile_h - 8 + m
+    [i, y, m] is the adjoint weight of weight-map row g = i*tile_h - mb + m
     for output row gy = i*tile_h + y: sum of taps[d] over d with
     clamp(g - r + d) == gy. Every forward output row within radius r of
-    gy lies in tile i's mid band (mid margin 8 > r = 5), so the
+    gy lies in tile i's mid band (mid margin mb >= r), so the
     restriction is exact; out-of-image mid rows (whose weight-map values
     are garbage) get zero columns."""
     r = len(taps) // 2
-    mid = tile_h + 16
+    _, mb = _grad_geometry(tile_h, r)
+    mid = tile_h + 2 * mb
     v = np.zeros((nh, tile_h, mid), np.float32)
     for i in range(nh):
         for m in range(mid):
-            g = i * tile_h - 8 + m
+            g = i * tile_h - mb + m
             if not 0 <= g < h:
                 continue
             for d in range(len(taps)):
@@ -188,11 +201,12 @@ def _make_hpassT_roll(t, r, out_w):
 
 def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
                tile_h=32, relaxed=False):
-    r = RADIUS
+    r = len(taps) // 2
+    hb2, mb = _grad_geometry(tile_h, r)
     batch = a.shape[0]
     nh = -(-h // tile_h)
-    band = tile_h + 32
-    mid = tile_h + 16
+    band = tile_h + 2 * hb2
+    mid = tile_h + 2 * mb
     v1 = jnp.asarray(_fwd_mid_band_matrices(tile_h, taps, h, nh))
     v2t = jnp.asarray(_transpose_band_matrices(tile_h, taps, h, nh))
     t = [float(x) for x in taps]
@@ -209,7 +223,7 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
     bw = (-(-w // 128) * 128 + 2 * r) if use_mxu else w
     if use_mxu:
         hp = _make_hpass(t, r, w, co=r)
-        hp_mxu = _make_hpass_mxu(w, exact=not relaxed)
+        hp_mxu = _make_hpass_mxu(w, r, exact=not relaxed)
         fold = _edge_fold_correction(t, r, w)
     else:
         hp = _make_hpass_roll(t, r, w)
@@ -249,7 +263,7 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
 
         def band_of(prev_ref, cur_ref, nxt_ref):
             raw = jnp.concatenate(
-                [prev_ref[0, tile_h - 16 :], cur_ref[0], nxt_ref[0, :16]],
+                [prev_ref[0, tile_h - hb2 :], cur_ref[0], nxt_ref[0, :hb2]],
                 axis=0,
             )
             # Ragged-block garbage can be NaN/inf/huge (see the forward's
@@ -281,14 +295,14 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
             # real NaN in the USER's cotangent still propagates through
             # the valid rows' weight maps, as the XLA VJP would.
             g_band = jnp.concatenate(
-                [gp[0, tile_h - 16 :], gc[0], gn[0, :16]], axis=0
+                [gp[0, tile_h - hb2 :], gc[0], gn[0, :hb2]], axis=0
             ).astype(jnp.float32)
             gid = (
                 jax.lax.broadcasted_iota(jnp.int32, g_band.shape, 0)
-                + i * tile_h - 16
+                + i * tile_h - hb2
             )
             g_band = jnp.where((gid >= 0) & (gid < h), g_band, 0.0)
-            coeff_s = w_s + g_band[8 : 8 + mid]
+            coeff_s = w_s + g_band[hb2 - mb : hb2 - mb + mid]
         else:
             coeff_s = w_s
 
@@ -360,8 +374,8 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
         tss = hpT_heavy(vpass(m2t, w_ss))
         tdd = hpT_heavy(vpass(m2t, w_dd))
 
-        s_out = s_band[16 : 16 + tile_h]
-        d_out = d_band[16 : 16 + tile_h]
+        s_out = s_band[hb2 : hb2 + tile_h]
+        d_out = d_band[hb2 : hb2 + tile_h]
         if use_mxu:
             s_out = s_out[:, r : r + w]
             d_out = d_out[:, r : r + w]
@@ -395,7 +409,7 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
                            memory_space=pltpu.VMEM)
     v2t_spec = pl.BlockSpec((1, tile_h, mid), lambda bi, i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    hm_spec = pl.BlockSpec((138, 128), lambda bi, i: (0, 0),
+    hm_spec = pl.BlockSpec((128 + 2 * r, 128), lambda bi, i: (0, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, tile_h, w), lambda bi, i: (bi, i, 0),
                             memory_space=pltpu.VMEM)
@@ -433,7 +447,8 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "data_range", "interpret", "tile_h", "relaxed", "sigma", "k1", "k2",
+        "data_range", "interpret", "tile_h", "relaxed", "radius", "sigma",
+        "k1", "k2",
     ),
 )
 def ssim_grad_pallas(
@@ -447,6 +462,7 @@ def ssim_grad_pallas(
     interpret: bool = False,
     tile_h: Optional[int] = None,
     relaxed: bool = False,
+    radius: int = RADIUS,
     sigma: float = SIGMA,
     k1: float = 0.01,
     k2: float = 0.03,
@@ -465,6 +481,8 @@ def ssim_grad_pallas(
     only, like the forward's accuracy="relaxed"): 3-pass DEFAULT dots
     instead of 6-pass HIGHEST for the four heavy horizontal passes AND
     all eight vertical band matmuls; per-blur error ~2^-17 relative.
+    radius/sigma/k1/k2: the custom-window extension (trace-time taps,
+    band matrices, and halo geometry; radius <= MAX_FUSED_RADIUS).
     """
     if a.dtype != jnp.float32 or b.dtype != jnp.float32:
         raise ValueError(
@@ -482,9 +500,10 @@ def ssim_grad_pallas(
             f"g_map shape {g_map.shape} must match images {a.shape}"
         )
     batch, h, w = a.shape
-    if not grad_pallas_supported(h, w):
+    if not grad_pallas_supported(h, w, radius):
         raise ValueError(
-            f"ssim_grad_pallas needs w > {RADIUS} and h >= 1, got {h}x{w}"
+            f"ssim_grad_pallas needs w > radius, h >= 1, and radius in "
+            f"1..{MAX_FUSED_RADIUS}; got {h}x{w} at radius {radius}"
         )
     ws = jnp.stack(
         [
@@ -493,11 +512,12 @@ def ssim_grad_pallas(
         ],
         axis=-1,
     )
-    # sigma/k1/k2 generalize the window spread and stabilization constants
-    # (matching the forward extension); the kernel's halo geometry pins
-    # only the radius. Tap VALUES flow into the trace-time band matrices
-    # and the c1/c2 scalars, so no structural change.
-    taps = gaussian_taps(np.float32, RADIUS, sigma)
+    # radius/sigma/k1/k2 generalize the window and stabilization constants
+    # (matching the forward extension): tap VALUES flow into the
+    # trace-time band matrices and the c1/c2 scalars, and the halo
+    # geometry (_grad_geometry) is built from the radius at trace time —
+    # any radius <= MAX_FUSED_RADIUS rides this kernel.
+    taps = gaussian_taps(np.float32, radius, sigma)
     c1 = float((k1 * data_range) ** 2)
     c2 = float((k2 * data_range) ** 2)
     if c1 * c2 < 9e-32:
@@ -520,32 +540,38 @@ def ssim_grad_pallas(
         # healthy-tunnel re-measure overturned it.) 96/128 measured
         # worse everywhere (5,408/3,521 at 1080p).
         tile_h = 64
-    if tile_h < 16 or tile_h % 8 != 0:
-        # The 16-row halos come from single neighbor blocks (tile_h >=
-        # 16) and sublane alignment wants multiples of 8.
-        raise ValueError(f"tile_h must be a multiple of 8 >= 16, got {tile_h}")
+    hb2 = _grad_geometry(tile_h, radius)[0]
+    if tile_h < hb2 or tile_h % 8 != 0:
+        # The 2r-row halos come from single neighbor blocks (tile_h >=
+        # hb2) and sublane alignment wants multiples of 8.
+        raise ValueError(
+            f"tile_h must be a multiple of 8 >= {hb2} (the 2r halo) at "
+            f"radius {radius}, got {tile_h}"
+        )
     if w <= GRAD_MAX_W:
         da, db = _grad_call(a, b, ws, h, w, taps, c1, c2, interpret,
                             clip_bound, gmap=g_map, tile_h=tile_h,
                             relaxed=relaxed)
     else:
-        # Column-chunked wide path: overlapping windows of GRAD_CHUNK_W
-        # owned columns + 2*RADIUS halo columns each side. Owned-column
+        # Column-chunked wide path: overlapping windows of chunk_w owned
+        # columns + 2*radius halo columns each side (window <=
+        # GRAD_MAX_W, the validated per-call maximum). Owned-column
         # gradients are exact by the same two-level halo argument as the
         # spatial row sharding (parallel/spatial.py): every weight-map
-        # column within RADIUS of the owned range reads only true
-        # content (>= RADIUS from the window edge, so the kernel's own
+        # column within radius of the owned range reads only true
+        # content (>= radius from the window edge, so the kernel's own
         # horizontal clamp never fires there), and clamp-polluted
-        # weight-map columns sit >= RADIUS deeper — their adjoint spread
+        # weight-map columns sit >= radius deeper — their adjoint spread
         # stays inside the discarded halo columns. Windows at the true
         # image edges keep the kernel's clamp semantics natively. Loss
         # terms in the overlap are computed by both windows, but each
         # input column's gradient is kept from exactly one window.
-        r2 = 2 * RADIUS
+        r2 = 2 * radius
+        chunk_w = GRAD_MAX_W - 2 * r2
         das, dbs = [], []
         start = 0
         while start < w:
-            end = min(w, start + GRAD_CHUNK_W)
+            end = min(w, start + chunk_w)
             lo = max(0, start - r2)
             hi = min(w, end + r2)
             gm = None if g_map is None else g_map[..., lo:hi]

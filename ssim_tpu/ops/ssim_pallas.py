@@ -65,6 +65,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..windows import RADIUS, SIGMA, gaussian_taps
 
+#: Largest window radius the fused kernels serve. The halo geometry is
+#: built from `taps` at trace time (band margins round the radius up to
+#: the 8-row sublane tile; the MXU tap matrix is (128 + 2r, 128)), so any
+#: radius <= 16 rides the same kernels at full speed — the reference pins
+#: radius 5 in its fast paths (hardcoded s0..s5 loads,
+#: src/ssim.cpp:364-449); this bound is one sublane tile of vertical halo
+#: from each neighbor row block. Larger radii route to the XLA path.
+MAX_FUSED_RADIUS = 16
+
 #: Output tile shape. Measured on v5e: short-and-wide tiles win
 #: (pipelining is better and lane-tile fragmentation lower). Full-width
 #: 32-row tiles handle up to 4K width (11.9 Gpix/s at 4K, 10.7 at 1080p)
@@ -135,23 +144,26 @@ def _lane_mode_for(w: int, precise: bool = False, relaxed: bool = False) -> str:
 
 
 def hpass_tap_matrix(taps) -> np.ndarray:
-    """The banded (138, 128) tap matrix of the MXU lane mode:
-    H[j+d, j] = taps[d], so band lanes [128c, 128c+138) @ H yields
+    """The banded (128 + 2r, 128) tap matrix of the MXU lane mode:
+    H[j+d, j] = taps[d], so band lanes [128c, 128c+128+2r) @ H yields
     output lanes [128c, 128c+128). Passed to the kernel as an operand
     (pallas kernels may not capture array constants)."""
-    hmat = np.zeros((138, 128), np.float32)
+    r = len(taps) // 2
+    hmat = np.zeros((128 + 2 * r, 128), np.float32)
     for j in range(128):
         for d in range(len(taps)):
             hmat[j + d, j] = taps[d]
     return hmat
 
 
-def _make_hpass_mxu(w: int, exact: bool = True, co: int = RADIUS):
+def _make_hpass_mxu(w: int, r: int = RADIUS, exact: bool = True,
+                    co: Optional[int] = None):
     """Chunked MXU horizontal blur over a widened band
     (..., ceil(w/128)*128 + 2r lanes, image column 0 at lane r):
-    output lanes [128c, 128c+128) come from band lanes [128c, 128c+138)
-    — every slice start is vreg-aligned — right-multiplied by the
-    banded tap matrix (hpass_tap_matrix, passed in as `hm`).
+    output lanes [128c, 128c+128) come from band lanes
+    [128c, 128c+128+2r) — every slice start is vreg-aligned —
+    right-multiplied by the banded tap matrix (hpass_tap_matrix,
+    passed in as `hm`).
 
     exact=True (the "mxu" mode) uses HIGHEST-precision dots:
     f32-equivalent accuracy, NOT bit-equal to the VPU hpass (6-pass
@@ -163,14 +175,17 @@ def _make_hpass_mxu(w: int, exact: bool = True, co: int = RADIUS):
     not help, measured).
 
     `co` is the lane of image/chunk column 0 in the input band. The
-    aligned-slice scheme assumes co == RADIUS; other offsets (the
-    chunked path's COL_OFF) are handled by one left-rotate of the band
-    per signal — the rotated junk lands beyond the last slice's reach."""
+    aligned-slice scheme assumes co == r (the default); other offsets
+    are handled by one left-rotate of the band per signal — the rotated
+    junk lands beyond the last slice's reach."""
     nchunk = -(-w // 128)
+    if co is None:
+        co = r
+    sw = 128 + 2 * r
 
     def hpass(x, hm):
-        if co != RADIUS:
-            x = jnp.roll(x, -(co - RADIUS), axis=-1)
+        if co != r:
+            x = jnp.roll(x, -(co - r), axis=-1)
         def dot(u, v, precision):
             return jax.lax.dot_general(
                 u, v, (((1,), (0,)), ((), ())),
@@ -186,11 +201,11 @@ def _make_hpass_mxu(w: int, exact: bool = True, co: int = RADIUS):
         outs = []
         for c in range(nchunk):
             if exact:
-                sl = jax.lax.slice_in_dim(x, 128 * c, 128 * c + 138, axis=1)
+                sl = jax.lax.slice_in_dim(x, 128 * c, 128 * c + sw, axis=1)
                 outs.append(dot(sl, hm, jax.lax.Precision.HIGHEST))
             else:
-                s1 = jax.lax.slice_in_dim(x1, 128 * c, 128 * c + 138, axis=1)
-                s2 = jax.lax.slice_in_dim(x2, 128 * c, 128 * c + 138, axis=1)
+                s1 = jax.lax.slice_in_dim(x1, 128 * c, 128 * c + sw, axis=1)
+                s2 = jax.lax.slice_in_dim(x2, 128 * c, 128 * c + sw, axis=1)
                 d = functools.partial(dot, precision=jax.lax.Precision.DEFAULT)
                 outs.append(d(s1, h1) + (d(s1, h2) + d(s2, h1)))
         out = jnp.concatenate(outs, axis=1)
@@ -229,7 +244,8 @@ _TILE_AREA_TARGET = 32768
 
 
 def _pick_tile_h(
-    h: int, w: int, precise: bool = False, float_input: bool = False
+    h: int, w: int, precise: bool = False, float_input: bool = False,
+    radius: int = RADIUS,
 ) -> int:
     """Adaptive fast-path tile height (multiple of 32 in [32, 256]).
 
@@ -249,7 +265,7 @@ def _pick_tile_h(
     budget = (_FLOAT_FAST_PATH_BUDGET if float_input else _FAST_PATH_BUDGET) // (
         2 if precise else 1
     )
-    cands = [t for t in range(32, 257, 32) if t * (w + 2 * RADIUS) <= budget]
+    cands = [t for t in range(32, 257, 32) if t * (w + 2 * radius) <= budget]
     if not cands:
         return 32
     padded = {t: -(-h // t) * t for t in cands}
@@ -498,22 +514,29 @@ def _ssim_from_blurs_df32(mu_a, mu_b, s_ss, s_dd, c1: float, c2: float):
     return _df_div(num, den)
 
 
+def _halo_rows(r: int) -> int:
+    """Vertical halo rows taken from each neighbor row block: the radius
+    rounded up to the 8-row sublane tile (8 for r <= 8, 16 for r <= 16)."""
+    return -(-r // 8) * 8
+
+
 def clamped_band_matrices(tile_h: int, band: int, taps: np.ndarray,
-                          h: int, nh: int) -> np.ndarray:
+                          h: int, nh: int, hb: int = 8) -> np.ndarray:
     """Per-row-tile vertical blur matrices with the clamp-to-edge border
     rule folded in (reference replication, src/ssim.cpp:560-582).
 
-    Band column k of tile i holds image row i*tile_h - 8 + k as assembled
-    by the kernel (8 rows from the previous block, the current block, 8
-    rows of the next). Entry [i, y, k] is the total tap weight of that row
-    for output row y — out-of-image rows get ZERO weight (their clamped
-    taps fold onto the edge row's column), which also neutralizes the
-    garbage lanes of ragged edge blocks and the wrong rows delivered by
-    the clamped prev/next index maps at i=0 / i=nh-1."""
+    Band column k of tile i holds image row i*tile_h - hb + k as assembled
+    by the kernel (hb rows from the previous block, the current block, hb
+    rows of the next; hb = _halo_rows(radius)). Entry [i, y, k] is the
+    total tap weight of that row for output row y — out-of-image rows get
+    ZERO weight (their clamped taps fold onto the edge row's column),
+    which also neutralizes the garbage lanes of ragged edge blocks and
+    the wrong rows delivered by the clamped prev/next index maps at
+    i=0 / i=nh-1."""
     r = len(taps) // 2
     v = np.zeros((nh, tile_h, band), np.float32)
     for i in range(nh):
-        base = i * tile_h - 8
+        base = i * tile_h - hb
         for y in range(tile_h):
             if i * tile_h + y >= h:
                 continue  # fully out-of-image output row (masked anyway)
@@ -527,7 +550,8 @@ def clamped_band_matrices(tile_h: int, band: int, taps: np.ndarray,
 
 def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h,
                         precise=False, components=False, clip_bound=131072.0,
-                        colsum=False, relaxed=False, pool_out=False):
+                        colsum=False, relaxed=False, pool_out=False,
+                        rowsum=False):
     """Zero-copy fast path: the RAW (B, H, W) images are consumed directly
     by the kernel — no padding pass at all. Each instance reads three
     row blocks per image (prev/cur/next via clamped index maps; ragged
@@ -537,13 +561,14 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
     (two lane concats per image). This removes the pad kernel's HBM round
     trip and its dispatch (~5-7% end-to-end on v5e).
     """
-    r = RADIUS
+    r = len(taps) // 2
+    hb = _halo_rows(r)
     batch = a.shape[0]
     float_mode = a.dtype == jnp.float32
     tile_h = max(32, min(max_tile_h, 256) // 32 * 32)
     nh = -(-h // tile_h)
-    band = tile_h + 16
-    vmats = jnp.asarray(clamped_band_matrices(tile_h, band, taps, h, nh))
+    band = tile_h + 2 * hb
+    vmats = jnp.asarray(clamped_band_matrices(tile_h, band, taps, h, nh, hb))
     t = [float(v) for v in taps]
     lane_mode = _lane_mode_for(w, precise, relaxed)
     lane_roll = lane_mode == "roll"
@@ -567,7 +592,7 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
         # Split across units: mu-blurs on the VPU, the heavy squared-
         # signal blurs on the MXU — see _lane_mode_for.
         hpass = _make_hpass(t, r, w, co=r)
-        hpass_mxu = _make_hpass_mxu(w, exact=lane_mode == "mxu")
+        hpass_mxu = _make_hpass_mxu(w, r, exact=lane_mode == "mxu")
     else:
         hpass = hpass_mxu = _make_hpass(t, r, w, co=r)
     hmat = jnp.asarray(hpass_tap_matrix(taps))
@@ -584,7 +609,8 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
 
         def band_of(prev_ref, cur_ref, nxt_ref):
             raw = jnp.concatenate(
-                [prev_ref[0, tile_h - 8 :], cur_ref[0], nxt_ref[0, :8]], axis=0
+                [prev_ref[0, tile_h - hb :], cur_ref[0], nxt_ref[0, :hb]],
+                axis=0,
             )
             if raw.dtype == jnp.uint8:
                 raw = raw.astype(jnp.int32).astype(jnp.float32)
@@ -686,6 +712,18 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
             sum_ref[0, 0, 0] = jnp.sum(ssim - 1.0, axis=0)
             return
 
+        if rowsum:
+            # Score-only spatial sharding (parallel/spatial.py): emit
+            # per-ROW sums of (ssim - 1) instead of the full map, cutting
+            # the kernel's HBM writes from H*W*4 to H*4 bytes. The host
+            # adds back w per valid row (one f32 rounding — finer than
+            # f32-summing the map's w near-1.0 terms) and slices off the
+            # ragged garbage rows (whose (ssim - 1) sum is exactly 0:
+            # zero band weights make their SSIM 1.0).
+            (sum_ref,) = out_refs
+            sum_ref[0] = jnp.sum(ssim - 1.0, axis=1, keepdims=True)
+            return
+
         if with_map:
             map_ref, sum_ref = out_refs
             map_ref[0] = ssim
@@ -782,7 +820,7 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
     specs = [spec(-1), spec(0), spec(1)]
     vm_spec = pl.BlockSpec((1, tile_h, band), lambda bi, i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    hm_spec = pl.BlockSpec((138, 128), lambda bi, i: (0, 0),
+    hm_spec = pl.BlockSpec((128 + 2 * r, 128), lambda bi, i: (0, 0),
                            memory_space=pltpu.VMEM)
     out_shapes = []
     out_specs = []
@@ -798,6 +836,15 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
         out_shapes.append(jax.ShapeDtypeStruct((batch, nh, 1, w), jnp.float32))
         out_specs.append(
             pl.BlockSpec((1, 1, 1, w), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        n_sums = None
+    elif rowsum:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((batch, nh * tile_h, 1), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, tile_h, 1), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM)
         )
         n_sums = None
@@ -843,6 +890,9 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
         ssim_map = None
     if colsum:
         return tile_sums.reshape(batch, nh, w).sum(axis=1), None
+    if rowsum:
+        rows = tile_sums.reshape(batch, nh * tile_h)[:, :h]
+        return rows + jnp.float32(w), None
     return tile_sums.reshape(batch, nh * n_sums), ssim_map
 
 
@@ -878,60 +928,64 @@ def _pick_chunk_w(w: int, tile_h: int = TILE_H, itemsize: int = 1) -> int:
 
 def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h,
                           precise=False, components=False, clip_bound=131072.0,
-                          relaxed=False):
-    """Wide-image path (w beyond one tile): the overlap design generalized
-    to a 2-D grid of lane chunks — each kernel instance reads FOUR blocks
-    per image (row-neighbor x lane-neighbor of the same padded array) and
-    builds its 10-row / 10-lane halos by concatenation in VMEM. Same
-    aligned (ROW_OFF, COL_OFF) padded layout as the fast path; this is the
-    TPU shape of the reference's fully general 2-D tile grid with margins
-    (src/ssim.cpp:227-239,902-926).
+                          relaxed=False, rowsum=False):
+    """Wide-image path (w beyond one tile): the zero-copy overlap design
+    generalized to a 2-D grid of lane chunks. Like the fast path, the RAW
+    (B, H, W) images are consumed directly — no padding pass, no HBM
+    round trip. Each kernel instance reads NINE blocks per image: the
+    prev/cur/next row blocks of its own lane chunk plus prev/cur/next row
+    blocks of two 128-lane neighbor strips (the lane-left and lane-right
+    blocks, via clamped lane index maps). Vertical clamp-to-edge rides
+    the same per-tile band matrices as the fast path
+    (clamped_band_matrices); horizontal clamp is resolved in VMEM — the
+    left halo comes from the left strip (chunk 0 replicates column 0),
+    and every lane at-or-past the image edge is replaced by column w-1,
+    extracted with a masked sum (the dynamic-edge equivalent of the fast
+    path's broadcast). This is the TPU shape of the reference's fully
+    general 2-D tile grid with margins (src/ssim.cpp:227-239,902-926).
     """
-    from .pad import COL_OFF, ROW_OFF, pad_align
-
-    r = RADIUS
+    r = len(taps) // 2
+    hb = _halo_rows(r)
     batch = a.shape[0]
     float_mode = a.dtype == jnp.float32
     tile_h = max(32, min(max_tile_h, 256) // 32 * 32)
     nh = -(-h // tile_h)
     chunk_w = _pick_chunk_w(w, tile_h, a.dtype.itemsize)
     nc = -(-w // chunk_w)
-    hp = (nh + 1) * tile_h  # junk row block for the row-neighbor spec
-    wp = (nc + 1) * chunk_w  # junk lane chunk for the lane-neighbor spec
-    band = tile_h + 16
-    vmat = jnp.asarray(
-        vertical_band_matrix(tile_h, band, taps, shift=ROW_OFF - r)
-    )
+    lw = chunk_w // 128  # lane blocks per chunk (chunk_w is 128-aligned)
+    nlb = -(-w // 128)   # lane blocks in the raw array
+    band = tile_h + 2 * hb
+    vmats = jnp.asarray(clamped_band_matrices(tile_h, band, taps, h, nh, hb))
     t = [float(v) for v in taps]
-    hpass = _make_hpass(t, r, chunk_w, co=COL_OFF)
+    hpass = _make_hpass(t, r, chunk_w, co=r)
     # Same unit-split as the fast path (see _lane_mode_for): chunk
     # widths are always >= 512, so the MXU lane mode applies whenever
     # the mode policy allows it (not precise, not env-overridden).
     lane_mode = _lane_mode_for(chunk_w, precise, relaxed)
     if lane_mode in ("mxu", "mxu3x"):
-        hpass_mxu = _make_hpass_mxu(chunk_w, exact=lane_mode == "mxu",
-                                    co=COL_OFF)
+        hpass_mxu = _make_hpass_mxu(chunk_w, r, exact=lane_mode == "mxu")
     else:
         hpass_mxu = None
     hmat = jnp.asarray(hpass_tap_matrix(taps))
 
-    def kernel(vm_ref, hm_ref, a00, a01, a10, a11, b00, b01, b10, b11,
+    def kernel(vm_ref, hm_ref,
+               amp, amc, amn, alp, alc, aln, arp, arc, arn,
+               bmp, bmc, bmn, blp, blc, bln, brp, brc, brn,
                *out_refs):
         i = pl.program_id(1)
         c = pl.program_id(2)
-        vm = vm_ref[...]
+        vm = vm_ref[0]
         if hpass_mxu is not None:
             hm = hm_ref[...]
             hpass_heavy = lambda x: hpass_mxu(x, hm)
         else:
             hpass_heavy = hpass
 
-        def band_of(lo_cur, lo_next, hi_cur, hi_next):
-            lo = jnp.concatenate([lo_cur[0], lo_next[0][:, :256]], axis=1)
-            hi = jnp.concatenate(
-                [hi_cur[0][:16], hi_next[0][:16, :256]], axis=1
+        def rows_of(prev_ref, cur_ref, nxt_ref):
+            raw = jnp.concatenate(
+                [prev_ref[0, tile_h - hb :], cur_ref[0], nxt_ref[0, :hb]],
+                axis=0,
             )
-            raw = jnp.concatenate([lo, hi], axis=0)
             if raw.dtype == jnp.uint8:
                 return raw.astype(jnp.int32).astype(jnp.float32)
             # See the fast path's float-garbage note (0*inf = NaN).
@@ -940,8 +994,39 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
                 -clip_bound, clip_bound,
             )
 
-        af = band_of(a00, a01, a10, a11)
-        bf = band_of(b00, b01, b10, b11)
+        def band_of(m3, l3, r3):
+            main = rows_of(*m3)   # (band, chunk_w), global lanes from c*cw
+            left = rows_of(*l3)   # (band, 128), lanes [c*cw-128, c*cw)
+            right = rows_of(*r3)  # (band, 128), lanes [(c+1)*cw, ...)
+            # Right side: extend by the strip's first r lanes, then clamp
+            # every lane at-or-past the image edge to column w-1, whose
+            # value always lies inside `ext` whenever any lane needs it
+            # (ext is contiguous from c*chunk_w < w to (c+1)*chunk_w+r-1).
+            ext = jnp.concatenate([main, right[:, :r]], axis=1)
+            gl = (
+                jax.lax.broadcasted_iota(jnp.int32, ext.shape, 1)
+                + c * chunk_w
+            )
+            ev = jnp.sum(
+                jnp.where(gl == w - 1, ext, 0.0), axis=1, keepdims=True
+            )
+            ext = jnp.where(gl <= w - 1, ext, ev)
+            # Left halo: the previous chunk's last r lanes; chunk 0's
+            # out-of-image lanes replicate column 0 (which IS main's
+            # lane 0 exactly when the where fires).
+            gll = (
+                jax.lax.broadcasted_iota(jnp.int32, (band, r), 1)
+                + c * chunk_w - r
+            )
+            lh = jnp.where(
+                gll >= 0,
+                jax.lax.slice_in_dim(left, 128 - r, 128, axis=1),
+                jnp.broadcast_to(main[:, :1], (band, r)),
+            )
+            return jnp.concatenate([lh, ext], axis=1)  # (band, cw + 2r)
+
+        af = band_of((amp, amc, amn), (alp, alc, aln), (arp, arc, arn))
+        bf = band_of((bmp, bmc, bmn), (blp, blc, bln), (brp, brc, brn))
         s = af + bf
         d = af - bf
 
@@ -974,15 +1059,15 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
             ssim_lo = None
 
         if float_mode:
-            # NaN/inf input poisoning (see the fast path's note). The
-            # padded layout is fully deterministic (every cell is a real
-            # pixel or an edge replica of one), so the tile's own block
-            # needs no masking; a replica of a NaN pixel may poison a
-            # neighboring tile's sum too, which is harmless — the global
-            # score is already NaN from the pixel's own tile.
-            pois = jnp.sum(
-                a00[0].astype(jnp.float32) + b00[0].astype(jnp.float32)
-            ) * 0.0
+            # NaN/inf input poisoning (see the fast path's note), from
+            # the tile's own valid cells only — edge blocks' ragged cells
+            # are uninitialized VMEM garbage here (zero-copy), so both
+            # row and lane overhang are masked out of the poison source.
+            src = amc[0].astype(jnp.float32) + bmc[0].astype(jnp.float32)
+            rid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, chunk_w), 0)
+            cid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, chunk_w), 1)
+            valid = (rid < h - i * tile_h) & (cid < w - c * chunk_w)
+            pois = jnp.sum(jnp.where(valid, src, 0.0)) * 0.0
             ssim = ssim + pois
             if components:
                 cs = cs + pois
@@ -995,23 +1080,27 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
         else:
             (sum_ref,) = out_refs
 
-        # Ragged edges: unlike the fast path (whose garbage rows are a
-        # known constant via zero band weights), chunked garbage cells
-        # are edge REPLICAS of real pixels — real-valued SSIM — so they
-        # must be masked. An unconditional where-mask beats the previous
-        # lax.cond(masked, plain) (Mosaic evaluates both branches); and
-        # summing (x - 1) + the exact valid count keeps the residual
-        # magnitude small, like the fast path.
-        partial_rows = h % tile_h != 0
-        partial_cols = w % chunk_w != 0
+        # Ragged edges: garbage ROWS cost nothing (zero band-matrix
+        # weights make their SSIM exactly 1.0, and the sums below add
+        # (x - 1)); lanes at-or-past the image edge were replaced by
+        # edge-replica values above — real-valued SSIM — so they are
+        # masked. Summing (x - 1) + the exact valid count keeps the
+        # residual magnitude small, like the fast path.
+        partial_cols = nc * chunk_w != w
 
-        def mask_edges(x):
-            if not partial_rows and not partial_cols:
+        def mask_cols(x):
+            if not partial_cols:
                 return x
-            rid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, chunk_w), 0)
             cid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, chunk_w), 1)
-            mask = (rid < h - i * tile_h) & (cid < w - c * chunk_w)
-            return jnp.where(mask, x, 0.0)
+            return jnp.where(cid < w - c * chunk_w, x, 0.0)
+
+        if rowsum:
+            # Per-row (ssim - 1) partials per lane chunk (see the fast
+            # path's rowsum note); the host sums the chunk axis and adds
+            # back w per valid row.
+            sum_ref[0] = jnp.sum(mask_cols(ssim - 1.0), axis=1,
+                                 keepdims=True)
+            return
 
         n_valid = (
             jnp.minimum(h - i * tile_h, tile_h).astype(jnp.float32)
@@ -1020,31 +1109,52 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
         if precise:
             # Compensated reduction; lo-sums ride as extra partials for
             # the host f64 finalize. (x-1) is masked, not x-1 of the
-            # mask: garbage cells must contribute 0, not -1.
-            hi_s, lo_s = _df_sum_2d(mask_edges(ssim - 1.0), mask_edges(ssim_lo))
+            # mask: out-of-image cells must contribute 0, not -1.
+            hi_s, lo_s = _df_sum_2d(mask_cols(ssim - 1.0), mask_cols(ssim_lo))
             hi_s, e = _two_sum(hi_s, n_valid)
             sum_ref[0, 0, 0, 0, 0] = hi_s
             sum_ref[0, 0, 0, 0, 1] = lo_s + e
         elif components:
-            sum_ref[0, 0, 0, 0, 0] = jnp.sum(mask_edges(cs - 1.0)) + n_valid
-            sum_ref[0, 0, 0, 0, 1] = jnp.sum(mask_edges(ssim - 1.0)) + n_valid
+            sum_ref[0, 0, 0, 0, 0] = jnp.sum(mask_cols(cs - 1.0)) + n_valid
+            sum_ref[0, 0, 0, 0, 1] = jnp.sum(mask_cols(ssim - 1.0)) + n_valid
         else:
-            sum_ref[0, 0, 0, 0, 0] = jnp.sum(mask_edges(ssim - 1.0)) + n_valid
+            sum_ref[0, 0, 0, 0, 0] = jnp.sum(mask_cols(ssim - 1.0)) + n_valid
 
-    pa = pad_align(a, hp, wp, tile_h, interpret=interpret)
-    pb = pad_align(b, hp, wp, tile_h, interpret=interpret)
+    def row_index(di):
+        if di < 0:
+            return lambda i: jnp.maximum(i - 1, 0)
+        if di > 0:
+            return lambda i: jnp.minimum(i + 1, nh - 1)
+        return lambda i: i
 
-    def spec(di, dc):
+    def mspec(di):
+        row = row_index(di)
         return pl.BlockSpec(
             (1, tile_h, chunk_w),
-            lambda bi, i, c: (bi, i + di, c + dc),
+            lambda bi, i, c: (bi, row(i), c),
             memory_space=pltpu.VMEM,
         )
 
-    specs = [spec(0, 0), spec(0, 1), spec(1, 0), spec(1, 1)]
-    vm_spec = pl.BlockSpec((tile_h, band), lambda bi, i, c: (0, 0),
+    def sspec(di, side):
+        row = row_index(di)
+        if side < 0:
+            lane = lambda c: jnp.maximum(c * lw - 1, 0)
+        else:
+            lane = lambda c: jnp.minimum((c + 1) * lw, nlb - 1)
+        return pl.BlockSpec(
+            (1, tile_h, 128),
+            lambda bi, i, c: (bi, row(i), lane(c)),
+            memory_space=pltpu.VMEM,
+        )
+
+    specs = (
+        [mspec(d) for d in (-1, 0, 1)]
+        + [sspec(d, -1) for d in (-1, 0, 1)]
+        + [sspec(d, 1) for d in (-1, 0, 1)]
+    )
+    vm_spec = pl.BlockSpec((1, tile_h, band), lambda bi, i, c: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    hm_spec = pl.BlockSpec((138, 128), lambda bi, i, c: (0, 0),
+    hm_spec = pl.BlockSpec((128 + 2 * r, 128), lambda bi, i, c: (0, 0),
                            memory_space=pltpu.VMEM)
     out_shapes = []
     out_specs = []
@@ -1056,12 +1166,25 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
             pl.BlockSpec((1, tile_h, chunk_w), lambda bi, i, c: (bi, i, c),
                          memory_space=pltpu.VMEM)
         )
-    n_sums = 2 if (precise or components) else 1
-    out_shapes.append(jax.ShapeDtypeStruct((batch, nh, nc, 1, n_sums), jnp.float32))
-    out_specs.append(
-        pl.BlockSpec((1, 1, 1, 1, n_sums), lambda bi, i, c: (bi, i, c, 0, 0),
-                     memory_space=pltpu.SMEM)
-    )
+    if rowsum:
+        n_sums = None
+        out_shapes.append(
+            jax.ShapeDtypeStruct((batch, nh * tile_h, nc), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, tile_h, 1), lambda bi, i, c: (bi, i, c),
+                         memory_space=pltpu.VMEM)
+        )
+    else:
+        n_sums = 2 if (precise or components) else 1
+        out_shapes.append(
+            jax.ShapeDtypeStruct((batch, nh, nc, 1, n_sums), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, 1, 1, 1, n_sums),
+                         lambda bi, i, c: (bi, i, c, 0, 0),
+                         memory_space=pltpu.SMEM)
+        )
 
     outs = pl.pallas_call(
         kernel,
@@ -1073,7 +1196,7 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
-    )(vmat, hmat, pa, pa, pa, pa, pb, pb, pb, pb)
+    )(vmats, hmat, *([a] * 9), *([b] * 9))
 
     if with_map:
         map_padded, tile_sums = outs
@@ -1081,6 +1204,9 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
     else:
         (tile_sums,) = outs
         ssim_map = None
+    if rowsum:
+        rows = tile_sums.sum(axis=2)[:, :h]
+        return rows + jnp.float32(w), None
     return tile_sums.reshape(batch, nh * nc * n_sums), ssim_map
 
 
@@ -1089,7 +1215,7 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
     static_argnames=(
         "with_map", "radius", "sigma", "data_range", "interpret",
         "max_tile_h", "max_tile_w", "precise", "allow_float", "relaxed",
-        "k1", "k2",
+        "k1", "k2", "rowsum",
     ),
 )
 def ssim_parts_pallas(
@@ -1108,13 +1234,24 @@ def ssim_parts_pallas(
     relaxed: bool = False,
     k1: float = 0.01,
     k2: float = 0.03,
+    rowsum: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Fused-kernel SSIM. a, b: (H, W) or (B, H, W), uint8 (or, with
     allow_float=True, float32 in [0, data_range]).
 
-    sigma/k1/k2 generalize the window spread and stabilization constants
-    (extension; only radius is pinned — the kernel's halo geometry is
-    specialized to radius 5 like the reference's fast paths).
+    rowsum=True swaps the per-tile partials for per-ROW sums of SSIM:
+    returns ((..., H) f32 row sums, None). Built for score-only spatial
+    sharding (parallel/spatial.py), where each shard keeps only its
+    owned rows — the kernel then writes H*4 bytes to HBM instead of the
+    H*W*4-byte map it previously materialized just to be row-reduced.
+    Incompatible with with_map/precise (the sharded layers' standard
+    tier only); finalize with engine.finalize_mean(row_sums, H*W).
+
+    radius/sigma/k1/k2 generalize the window and stabilization constants
+    (extension). The kernel's halo geometry is built from the taps at
+    trace time, so any radius <= MAX_FUSED_RADIUS (16) rides the fused
+    kernels — unlike the reference, whose fast paths hardcode radius 5
+    (src/ssim.cpp:364-449) and fall to the generic loop otherwise.
 
     max_tile_h=None (default) picks the tile height adaptively
     (_pick_tile_h: large images keep the classic 32-row tiles; small
@@ -1154,13 +1291,21 @@ def ssim_parts_pallas(
     the reference's u8 contract. Wide float images use the chunked path
     over an f32 padded layout (the pad kernel is dtype-generic).
     """
-    if radius != RADIUS:
-        raise ValueError("the fused kernel is specialized to radius 5, like the "
-                         "reference's fast paths (src/ssim.cpp:364)")
+    if not 1 <= radius <= MAX_FUSED_RADIUS:
+        raise ValueError(
+            f"the fused kernel serves radius 1..{MAX_FUSED_RADIUS} (halo "
+            f"geometry is built from taps at trace time); got {radius} — "
+            f"use the XLA path for larger windows"
+        )
     if relaxed and precise:
         raise ValueError(
             "relaxed (loose bf16-split blurs) contradicts precise "
             "(compensated double-float) — pick one accuracy tier"
+        )
+    if rowsum and (with_map or precise):
+        raise ValueError(
+            "rowsum emits per-row sums INSTEAD of the map/partials — "
+            "incompatible with with_map and precise"
         )
     if data_range < 1e-6:
         # c1*c2 = 9e-8 * data_range^4 must stay a normal f32 (TPUs flush
@@ -1213,17 +1358,19 @@ def ssim_parts_pallas(
     # fast path 14.0 vs chunked 7.7 Gpix/s).
     if fast_ok:
         tile_h = max_tile_h if max_tile_h is not None else _pick_tile_h(
-            h, w, precise=precise, float_input=float_ok
+            h, w, precise=precise, float_input=float_ok, radius=radius
         )
         partials, ssim_map = _nopad_overlap_call(
             a, b, h, w, taps, c1, c2, with_map, interpret, tile_h,
             precise=precise, clip_bound=clip_bound, relaxed=relaxed,
+            rowsum=rowsum,
         )
     else:
         partials, ssim_map = _chunked_overlap_call(
             a, b, h, w, taps, c1, c2, with_map, interpret,
             TILE_H if max_tile_h is None else max_tile_h,
             precise=precise, clip_bound=clip_bound, relaxed=relaxed,
+            rowsum=rowsum,
         )
     if squeeze:
         partials = partials[0]
@@ -1234,7 +1381,7 @@ def ssim_parts_pallas(
 @functools.partial(
     jax.jit,
     static_argnames=("data_range", "interpret", "max_tile_h", "max_tile_w",
-                     "relaxed", "sigma", "k1", "k2"),
+                     "relaxed", "radius", "sigma", "k1", "k2"),
 )
 def ssim_components_pallas(
     a: jnp.ndarray,
@@ -1245,6 +1392,7 @@ def ssim_components_pallas(
     max_tile_h: Optional[int] = None,
     max_tile_w: int = TILE_W,
     relaxed: bool = False,
+    radius: int = RADIUS,
     sigma: float = SIGMA,
     k1: float = 0.01,
     k2: float = 0.03,
@@ -1277,9 +1425,14 @@ def ssim_components_pallas(
         b = b[None]
     batch, h, w = a.shape
 
-    # sigma/k1/k2: the custom-window extension (trace-time taps and
-    # constants; radius stays 5 — the kernel's halo geometry).
-    taps = gaussian_taps(np.float32, RADIUS, sigma)
+    # radius/sigma/k1/k2: the custom-window extension (trace-time taps and
+    # constants; radius <= MAX_FUSED_RADIUS like ssim_parts_pallas).
+    if not 1 <= radius <= MAX_FUSED_RADIUS:
+        raise ValueError(
+            f"the fused kernel serves radius 1..{MAX_FUSED_RADIUS}; got "
+            f"{radius} — use the XLA path for larger windows"
+        )
+    taps = gaussian_taps(np.float32, radius, sigma)
     c1 = float((k1 * data_range) ** 2)
     c2 = float((k2 * data_range) ** 2)
     if c1 * c2 < 9e-32:
@@ -1292,12 +1445,12 @@ def ssim_components_pallas(
 
     clip_bound = max(131072.0, 4.0 * float(data_range))
     is_float = a.dtype == jnp.float32
-    fast_ok = _round_up(w + 2 * RADIUS, 128) <= max_tile_w + COL_OVERLAP
-    if is_float and 32 * (w + 2 * RADIUS) > _FLOAT_FAST_PATH_BUDGET:
+    fast_ok = _round_up(w + 2 * radius, 128) <= max_tile_w + COL_OVERLAP
+    if is_float and 32 * (w + 2 * radius) > _FLOAT_FAST_PATH_BUDGET:
         fast_ok = False  # float blocks are 4x u8's (see ssim_parts_pallas)
     if fast_ok:
         tile_h = max_tile_h if max_tile_h is not None else _pick_tile_h(
-            h, w, float_input=is_float
+            h, w, float_input=is_float, radius=radius
         )
         partials, _ = _nopad_overlap_call(
             a, b, h, w, taps, c1, c2, False, interpret, tile_h,
@@ -1315,7 +1468,7 @@ def ssim_components_pallas(
     return partials
 
 
-def pooled_components_ok(shape, dtype) -> bool:
+def pooled_components_ok(shape, dtype, radius: int = RADIUS) -> bool:
     """Whether ssim_components_pooled_pallas accepts this geometry: u8
     pairs on the zero-copy fast path (the pooled outputs ride the same
     tile grid; the chunked wide path has no pooled mode)."""
@@ -1324,14 +1477,15 @@ def pooled_components_ok(shape, dtype) -> bool:
         dtype == jnp.uint8
         and h >= 2
         and w >= 2
-        and _round_up(w + 2 * RADIUS, 128) <= TILE_W + COL_OVERLAP
+        and 1 <= radius <= MAX_FUSED_RADIUS
+        and _round_up(w + 2 * radius, 128) <= TILE_W + COL_OVERLAP
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("data_range", "interpret", "max_tile_h", "relaxed",
-                     "sigma", "k1", "k2"),
+                     "radius", "sigma", "k1", "k2"),
 )
 def ssim_components_pooled_pallas(
     a: jnp.ndarray,
@@ -1341,6 +1495,7 @@ def ssim_components_pooled_pallas(
     interpret: bool = False,
     max_tile_h: Optional[int] = None,
     relaxed: bool = False,
+    radius: int = RADIUS,
     sigma: float = SIGMA,
     k1: float = 0.01,
     k2: float = 0.03,
@@ -1366,12 +1521,12 @@ def ssim_components_pooled_pallas(
         a = a[None]
         b = b[None]
     batch, h, w = a.shape
-    if not pooled_components_ok(a.shape, a.dtype):
+    if not pooled_components_ok(a.shape, a.dtype, radius):
         raise ValueError(
             f"geometry {h}x{w} not eligible for the pooled components "
             f"kernel (u8 fast path only)"
         )
-    taps = gaussian_taps(np.float32, RADIUS, sigma)
+    taps = gaussian_taps(np.float32, radius, sigma)
     c1 = float((k1 * data_range) ** 2)
     c2 = float((k2 * data_range) ** 2)
     if c1 * c2 < 9e-32:
@@ -1379,7 +1534,9 @@ def ssim_components_pooled_pallas(
             f"k1/k2 too small for data_range {data_range}: c1*c2 = "
             f"{c1 * c2:g} degenerates in f32 (needs >= 9e-32)"
         )
-    tile_h = max_tile_h if max_tile_h is not None else _pick_tile_h(h, w)
+    tile_h = max_tile_h if max_tile_h is not None else _pick_tile_h(
+        h, w, radius=radius
+    )
     partials, (pool_a, pool_b) = _nopad_overlap_call(
         a, b, h, w, taps, c1, c2, False, interpret, tile_h,
         components=True, clip_bound=max(131072.0, 4.0 * float(data_range)),
@@ -1405,34 +1562,36 @@ def ssim_components_pooled_pallas(
 PACK_MAX_W = 192
 
 
-def pack_preferred(w: int, batch: int, itemsize: int = 1) -> bool:
+def pack_preferred(w: int, batch: int, itemsize: int = 1,
+                   radius: int = RADIUS) -> bool:
     """Whether the packed path is measured faster for w-wide batches.
 
     Uses the width-only auto rule (w % 128 == 0 gets the roll lane mode
     unpacked and never packs) independent of _LANE_MODE, so the
     SSIM_TPU_LANE_MODE benchmarking override changes only the hpass
     strategy, never the auto-routing packing decision."""
-    if pack_count(w, batch, itemsize) < 2:
+    if pack_count(w, batch, itemsize, radius) < 2:
         return False
     return w <= PACK_MAX_W and w % 128 != 0
 
 
-def pack_count(w: int, batch: int, itemsize: int = 1) -> int:
+def pack_count(w: int, batch: int, itemsize: int = 1,
+               radius: int = RADIUS) -> int:
     """How many w-wide images the packed path lays side by side. Float
     inputs (itemsize 4) pack into the tighter float VMEM budget's row
     width (~3062 lanes at 32-row tiles) instead of the full 4214."""
-    pitch = w + 2 * RADIUS
+    pitch = w + 2 * radius
     if itemsize > 1:
-        limit = (_FLOAT_FAST_PATH_BUDGET // 32 - 2 * RADIUS) // pitch
+        limit = (_FLOAT_FAST_PATH_BUDGET // 32 - 2 * radius) // pitch
     else:
-        limit = (TILE_W + COL_OVERLAP - 2 * RADIUS) // pitch
+        limit = (TILE_W + COL_OVERLAP - 2 * radius) // pitch
     return max(1, min(batch, limit))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("data_range", "interpret", "max_tile_h", "allow_float",
-                     "relaxed", "sigma", "k1", "k2"),
+                     "relaxed", "radius", "sigma", "k1", "k2"),
 )
 def ssim_parts_pallas_packed(
     a: jnp.ndarray,
@@ -1443,6 +1602,7 @@ def ssim_parts_pallas_packed(
     max_tile_h: Optional[int] = None,
     allow_float: bool = False,
     relaxed: bool = False,
+    radius: int = RADIUS,
     sigma: float = SIGMA,
     k1: float = 0.01,
     k2: float = 0.03,
@@ -1495,9 +1655,14 @@ def ssim_parts_pallas_packed(
         # identity.
         raise ValueError(f"data_range {data_range} too small (must be >= 1e-6)")
     batch, h, w = a.shape
-    r = RADIUS
+    if not 1 <= radius <= MAX_FUSED_RADIUS:
+        raise ValueError(
+            f"the packed path serves radius 1..{MAX_FUSED_RADIUS}; got "
+            f"{radius}"
+        )
+    r = radius
     pitch = w + 2 * r
-    p = pack_count(w, batch, itemsize=4 if float_ok else 1)
+    p = pack_count(w, batch, itemsize=4 if float_ok else 1, radius=r)
     bp = -(-batch // p)
     pad_n = bp * p - batch
 
@@ -1511,11 +1676,11 @@ def ssim_parts_pallas_packed(
             .reshape(bp, h, p * pitch)
         )
 
-    # sigma/k1/k2: the custom-window extension. The RADIUS-wide gutters
-    # isolate the 11-tap window for ANY tap values (the window reaches at
+    # radius/sigma/k1/k2: the custom-window extension. The radius-wide
+    # gutters isolate the window for ANY tap values (the window reaches at
     # most r past an image edge, landing in that image's own replica
     # gutter), and the padding-slot identity below holds for any c1/c2.
-    taps = gaussian_taps(np.float32, RADIUS, sigma)
+    taps = gaussian_taps(np.float32, r, sigma)
     c1 = float((k1 * data_range) ** 2)
     c2 = float((k2 * data_range) ** 2)
     if c1 * c2 < 9e-32:

@@ -23,7 +23,8 @@ def _parts_fn(impl, window=None):
     """Resolve the per-shard compute path. Defaults to the fused Pallas
     kernel on TPU and the XLA path elsewhere. window: optional dict of
     radius/sigma/k1/k2 overrides (the custom-window extension; routing
-    sends a non-default radius to the XLA path)."""
+    keeps the fused kernel for any radius <= MAX_FUSED_RADIUS and sends
+    larger radii to the XLA path)."""
     impl = select_impl(impl)
     window = window or {}
     if impl == Implementation.PALLAS:

@@ -92,13 +92,14 @@ def ssim_spatial_sharded(
     edge-replicated rows and the outputs are sliced back. Returns
     (row_sums (H,) f32, map (H, W) f32 or None), row-sharded over the mesh.
 
-    impl: "auto" (fused Pallas kernel for u8 inputs at the default radius,
-    XLA otherwise), "pallas", or "xla".
-    radius/sigma/k1/k2: the custom-window extension — radius also sets the
-    halo exchange depth, so any radius works here (XLA route); sigma/k1/k2
-    additionally ride the fused kernel.
+    impl: "auto" (fused Pallas kernel for u8/f32 inputs at any radius up
+    to MAX_FUSED_RADIUS, XLA otherwise), "pallas", or "xla".
+    radius/sigma/k1/k2: the custom-window extension — radius also sets
+    the halo exchange depth, so any radius works here (radius <= 16 on
+    the fused kernel, larger via XLA); sigma/k1/k2 ride every route.
     """
     from ..engine import validate_window
+    from ..ops.ssim_pallas import MAX_FUSED_RADIUS
 
     validate_window(radius, sigma, k1, k2, data_range)
     radius = int(radius)
@@ -106,13 +107,13 @@ def ssim_spatial_sharded(
     h, w = a.shape[-2], a.shape[-1]
     impl = select_impl("auto" if impl is None else impl)
     # The fused kernel serves u8 pairs natively and float32 pairs via its
-    # sanitized float path (same gate as ops/routing.py); other inputs
-    # take the XLA path. Non-default radii are XLA-only.
+    # sanitized float path (same gate as ops/routing.py); other inputs —
+    # and radii beyond the fused halo geometry — take the XLA path.
     float_pair = a.dtype == jnp.float32 and b.dtype == jnp.float32
     use_pallas = (
         impl == Implementation.PALLAS
         and ((a.dtype == jnp.uint8 and b.dtype == jnp.uint8) or float_pair)
-        and radius == RADIUS
+        and radius <= MAX_FUSED_RADIUS
     )
 
     # Internal padded height: every shard at least `radius` rows tall so
@@ -133,10 +134,21 @@ def ssim_spatial_sharded(
             # handling only ever triggers inside the discarded halo rows.
             ae = _exchange_halos(a_s, axis, n_shards, radius)
             be = _exchange_halos(b_s, axis, n_shards, radius)
+            if not with_map:
+                # Score-only: the kernel's rowsum mode emits per-row sums
+                # directly — no H*W map is ever written to HBM just to be
+                # row-reduced here (the reference keeps maps tile-local
+                # too, src/ssim.cpp:659-668).
+                rows, _ = ssim_parts_pallas(
+                    ae, be, rowsum=True, data_range=data_range,
+                    interpret=interpret, allow_float=float_pair,
+                    radius=radius, sigma=sigma, k1=k1, k2=k2,
+                )
+                return rows[radius : radius + shard_h], None
             _, ssim_map = ssim_parts_pallas(
                 ae, be, with_map=True, data_range=data_range,
                 interpret=interpret, allow_float=float_pair,
-                sigma=sigma, k1=k1, k2=k2,
+                radius=radius, sigma=sigma, k1=k1, k2=k2,
             )
             valid = ssim_map[radius : radius + shard_h, :]
             return jnp.sum(valid, axis=-1), (valid if with_map else None)
@@ -183,6 +195,7 @@ def mean_ssim_spatial(
     batch_axis: Optional[str] = None,
     data_range: float = 255.0,
     impl="auto",
+    radius: int = RADIUS,
     sigma: float = 1.5,
     k1: float = 0.01,
     k2: float = 0.03,
@@ -193,16 +206,19 @@ def mean_ssim_spatial(
     surface. Forward: fused kernel per shard for u8/f32 on the Pallas
     impl. Backward for f32 inputs: the sharded fused analytic kernel
     (ssim_grad_spatial_sharded) whenever the geometry allows (H divides
-    the axis, shards >= 2*RADIUS rows); XLA autodiff otherwise
-    (single-image only — batched inputs require the fused-backward
-    geometry). Both directions stay TPU-native kernels with halo rows
-    over ICI.
-    sigma/k1/k2: the custom-window extension, threaded through both
-    fused kernels (radius stays 5 here — it sets the halo depth).
+    the axis, shards >= 2*radius rows, radius <= MAX_FUSED_RADIUS); XLA
+    autodiff otherwise (single-image only — batched inputs require the
+    fused-backward geometry). Both directions stay TPU-native kernels
+    with halo rows over ICI.
+    radius/sigma/k1/k2: the custom-window extension, threaded through
+    both fused kernels (radius also sets the ICI halo depth; radius >
+    MAX_FUSED_RADIUS rides the XLA formulation per shard).
     """
     from ..engine import validate_window
+    from ..ops.ssim_grad import grad_pallas_supported
 
-    validate_window(RADIUS, sigma, k1, k2, data_range)
+    validate_window(radius, sigma, k1, k2, data_range)
+    radius = int(radius)
     a = jnp.asarray(a)
     b = jnp.asarray(b)
     if a.ndim not in (2, 3) or a.shape != b.shape:
@@ -219,16 +235,16 @@ def mean_ssim_spatial(
     float_pair = a.dtype == jnp.float32 and b.dtype == jnp.float32
     grad_ok = (
         float_pair
-        and w > RADIUS  # the backward kernel's own minimum width
+        and grad_pallas_supported(h, w, radius)  # width + fused-radius gate
         and h % n_shards == 0
-        and h // n_shards >= 2 * RADIUS
+        and h // n_shards >= 2 * radius
     )
 
     if a.ndim == 2:
         def fwd_mean(xa, xb, use_impl=impl):
             row_sums, _ = ssim_spatial_sharded(
                 xa, xb, mesh, axis=axis, data_range=data_range,
-                impl=use_impl, sigma=sigma, k1=k1, k2=k2,
+                impl=use_impl, radius=radius, sigma=sigma, k1=k1, k2=k2,
             )
             return jnp.sum(row_sums) / n
 
@@ -239,10 +255,10 @@ def mean_ssim_spatial(
             # gradient) keep impl.
             return fwd_mean(a, b, "xla" if float_pair else impl)
     else:
-        if h % n_shards != 0 or h // n_shards < RADIUS:
+        if h % n_shards != 0 or h // n_shards < radius:
             raise ValueError(
                 f"batched mean_ssim_spatial needs H={h} divisible by the "
-                f"{axis!r} axis ({n_shards}) with shards >= {RADIUS} rows"
+                f"{axis!r} axis ({n_shards}) with shards >= {radius} rows"
             )
         if a.dtype == jnp.uint8:
             fp = False
@@ -261,36 +277,41 @@ def mean_ssim_spatial(
         # found the batched branch silently pinning the Pallas kernel):
         # non-Pallas impls take the XLA formulation per shard, which is
         # plainly differentiable — no custom VJP needed.
-        use_pallas = select_impl("auto" if impl is None else impl) == (
-            Implementation.PALLAS
-        )
-
-        from ..ops.ssim_pallas import ssim_parts_pallas
+        from ..ops.ssim_pallas import MAX_FUSED_RADIUS, ssim_parts_pallas
         from ..ops.ssim_xla import ssim_from_padded
+
+        use_pallas = (
+            select_impl("auto" if impl is None else impl)
+            == Implementation.PALLAS
+            and radius <= MAX_FUSED_RADIUS
+        )
 
         @functools.partial(
             jax.shard_map, mesh=mesh, in_specs=(spec, spec), out_specs=P(),
             check_vma=False,
         )
         def fwd_sharded(xa, xb):
-            ae = _exchange_halos(xa, axis, n_shards, RADIUS)
-            be = _exchange_halos(xb, axis, n_shards, RADIUS)
+            ae = _exchange_halos(xa, axis, n_shards, radius)
+            be = _exchange_halos(xb, axis, n_shards, radius)
             if use_pallas:
-                _, smap = ssim_parts_pallas(
-                    ae, be, with_map=True, data_range=data_range,
+                # Score-only: rowsum mode — per-row sums straight from
+                # the kernel, no HBM map round trip (see the 2-D branch).
+                rows, _ = ssim_parts_pallas(
+                    ae, be, rowsum=True, data_range=data_range,
                     interpret=interpret, allow_float=fp,
-                    sigma=sigma, k1=k1, k2=k2,
+                    radius=radius, sigma=sigma, k1=k1, k2=k2,
                 )
-                local = jnp.sum(smap[:, RADIUS : RADIUS + hs, :])
+                local = jnp.sum(rows[:, radius : radius + hs])
             else:
                 # ssim_from_padded consumes the r-row vertical halos as
                 # its padding (plus local horizontal edge pads), emitting
                 # exactly the hs owned rows.
-                pad = ((0, 0), (0, 0), (RADIUS, RADIUS))
+                pad = ((0, 0), (0, 0), (radius, radius))
                 row_sums, _ = ssim_from_padded(
                     jnp.pad(ae.astype(jnp.float32), pad, mode="edge"),
                     jnp.pad(be.astype(jnp.float32), pad, mode="edge"),
-                    data_range=data_range, sigma=sigma, k1=k1, k2=k2,
+                    data_range=data_range, radius=radius, sigma=sigma,
+                    k1=k1, k2=k2,
                 )
                 local = jnp.sum(row_sums)
             return jax.lax.psum(local, psum_axes) / n
@@ -307,7 +328,7 @@ def mean_ssim_spatial(
         if not grad_ok:
             raise ValueError(
                 f"batched differentiable mean_ssim_spatial needs shards "
-                f">= {2 * RADIUS} rows and w > {RADIUS} (got {h}x{w} over "
+                f">= {2 * radius} rows and w > {radius} (got {h}x{w} over "
                 f"{n_shards} shards); use fewer shards"
             )
 
@@ -323,7 +344,7 @@ def mean_ssim_spatial(
         return ssim_grad_spatial_sharded(
             xa, xb, mesh, axis=axis, batch_axis=batch_axis,
             w_s=jnp.asarray(g, jnp.float32) / n, data_range=data_range,
-            sigma=sigma, k1=k1, k2=k2,
+            radius=radius, sigma=sigma, k1=k1, k2=k2,
         )
 
     f.defvjp(f_fwd, f_bwd)
@@ -340,6 +361,7 @@ def ssim_grad_spatial_sharded(
     w_s=1.0,
     data_range: float = 255.0,
     interpret: Optional[bool] = None,
+    radius: int = RADIUS,
     sigma: float = 1.5,
     k1: float = 0.01,
     k2: float = 0.03,
@@ -348,7 +370,8 @@ def ssim_grad_spatial_sharded(
     float32 (H, W) pair — the fused analytic backward kernel
     (ops/ssim_grad.py) running across the mesh. The TPU-native
     distributed-training story: forward AND backward stay in fused
-    kernels, with only 2*RADIUS halo rows per shard moving over ICI.
+    kernels, with only 2*radius halo rows per shard moving over ICI
+    (radius <= MAX_FUSED_RADIUS, the fused kernels' bound).
 
     Why it is exact (each shard returns the true global gradients of its
     own rows):
@@ -388,9 +411,10 @@ def ssim_grad_spatial_sharded(
     shard counts and edge geometries (tests/test_distributed.py).
     """
     from ..engine import validate_window
-    from ..ops.ssim_grad import ssim_grad_pallas
+    from ..ops.ssim_grad import grad_pallas_supported, ssim_grad_pallas
 
-    validate_window(RADIUS, sigma, k1, k2, data_range)
+    validate_window(radius, sigma, k1, k2, data_range)
+    radius = int(radius)
     a = jnp.asarray(a)
     b = jnp.asarray(b)
     if a.ndim not in (2, 3) or a.shape != b.shape:
@@ -407,7 +431,12 @@ def ssim_grad_spatial_sharded(
         )
     n_shards = mesh.shape[axis]
     h, w = a.shape[-2:]
-    m = 2 * RADIUS
+    if not grad_pallas_supported(h, w, radius):
+        raise ValueError(
+            f"the fused backward needs w > radius and radius <= "
+            f"MAX_FUSED_RADIUS; got {h}x{w} at radius {radius}"
+        )
+    m = 2 * radius
     if h % n_shards != 0 or h // n_shards < m:
         raise ValueError(
             f"H={h} must divide the {axis!r} axis ({n_shards}) with shards "
@@ -442,7 +471,7 @@ def ssim_grad_spatial_sharded(
         gmap = jnp.broadcast_to((mask * w_arr)[:, None], ae.shape)
         da, db = ssim_grad_pallas(
             ae, be, 0.0, 0.0, gmap, data_range=data_range,
-            interpret=interpret, sigma=sigma, k1=k1, k2=k2,
+            interpret=interpret, radius=radius, sigma=sigma, k1=k1, k2=k2,
         )
 
         def fold(g):

@@ -397,6 +397,15 @@ def test_spatial_sharded_custom_window(rng, mesh8):
     got_r = engine.finalize_mean(np.asarray(row_sums_r), 160 * 96)
     assert got_r == pytest.approx(compute_ssim(a, b, radius=3), abs=2e-6)
 
+    # ... and the FUSED route (round-4: radius-generic halo geometry),
+    # including a radius whose halo depth exceeds one 8-row sublane tile.
+    row_sums_f, _ = ssim_spatial_sharded(a, b, space, radius=9, sigma=3.0,
+                                         impl="pallas")
+    got_f = engine.finalize_mean(np.asarray(row_sums_f), 160 * 96)
+    assert got_f == pytest.approx(
+        compute_ssim(a, b, radius=9, sigma=3.0), abs=2e-6
+    )
+
     from ssim_tpu.parallel import mean_ssim_spatial
 
     af = jnp.asarray(a, jnp.float32)
@@ -410,6 +419,18 @@ def test_spatial_sharded_custom_window(rng, mesh8):
         lambda x: jnp.sum(ssim_parts_xla(x, bf, **kw)[0]) / (160 * 96)
     )(af)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_x), atol=2e-7)
+
+    # Custom radius through the sharded fused backward (the ICI halo
+    # depth and the kernel geometry both follow the window).
+    ga_r = jax.grad(
+        lambda x: mean_ssim_spatial(x, bf, space, radius=8, sigma=2.5)
+    )(af)
+    ga_rx = jax.grad(
+        lambda x: jnp.sum(
+            ssim_parts_xla(x, bf, radius=8, sigma=2.5)[0]
+        ) / (160 * 96)
+    )(af)
+    np.testing.assert_allclose(np.asarray(ga_r), np.asarray(ga_rx), atol=2e-7)
 
 
 def test_batched_mean_ssim_spatial_honors_xla_impl(rng, mesh8):

@@ -108,12 +108,71 @@ def test_grad_rejects_unsupported(rng):
     # wide path (widths > GRAD_MAX_W split into overlapping windows).
     assert grad_pallas_supported(64, GRAD_MAX_W + 128)
     assert not grad_pallas_supported(64, 4)  # w <= radius
+    assert not grad_pallas_supported(64, 256, 17)  # beyond the fused bound
+    assert grad_pallas_supported(64, 256, 16)
     a = np.zeros((8, 4), np.float32)
     with pytest.raises(ValueError, match="needs"):
         ssim_grad_pallas(a, a, 1.0, 0.0, interpret=True)
     au = np.zeros((8, 64), np.uint8)
     with pytest.raises(ValueError, match="float32"):
         ssim_grad_pallas(au, au, 1.0, 0.0, interpret=True)
+
+
+@pytest.mark.parametrize("radius,sigma", [(1, 0.8), (3, 1.2), (8, 2.5),
+                                          (16, 4.0)])
+def test_grad_custom_radius_matches_xla_vjp(rng, radius, sigma):
+    """The backward's halo geometry is built from the radius at trace
+    time (round-4; previously pinned to 5): the 2r-row input halos, the
+    r-row mid margins, and the (128+2r, 128) MXU tap matrix all follow
+    the window. Both cotangent channels, against the XLA formulation's
+    autodiff at the same window."""
+    h, w = 40, 72
+    a, b = _float_pair(rng, h, w)
+
+    def loss(x, y):
+        rs, _ = ssim_parts_xla(x, y, data_range=1.0, radius=radius,
+                               sigma=sigma)
+        return jnp.sum(rs)
+
+    ga_x, gb_x = jax.grad(loss, argnums=(0, 1))(a, b)
+    ga_p, gb_p = ssim_grad_pallas(a, b, 1.0, 0.0, data_range=1.0,
+                                  interpret=True, radius=radius, sigma=sigma)
+    # Gradient magnitude grows as the window narrows (~5x at r=1 vs
+    # r=5), so the f32 comparison tolerance scales with max |g|.
+    for p, x in ((ga_p, ga_x), (gb_p, gb_x)):
+        scale = max(1.0, float(np.max(np.abs(np.asarray(x)))))
+        np.testing.assert_allclose(np.asarray(p), np.asarray(x),
+                                   atol=3e-5 * scale)
+
+
+def test_grad_custom_radius_wide_mxu(rng):
+    """Custom radius on the >= MXU_MIN_W unit-split branch (the widened
+    band and tap matrix are radius-sized)."""
+    a, b = _float_pair(rng, 24, 640)
+
+    def loss(x, y):
+        rs, _ = ssim_parts_xla(x, y, data_range=1.0, radius=7, sigma=2.0)
+        return jnp.sum(rs)
+
+    ga_x, gb_x = jax.grad(loss, argnums=(0, 1))(a, b)
+    ga_p, gb_p = ssim_grad_pallas(a, b, 1.0, 0.0, data_range=1.0,
+                                  interpret=True, radius=7, sigma=2.0)
+    np.testing.assert_allclose(np.asarray(ga_p), np.asarray(ga_x), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(gb_p), np.asarray(gb_x), atol=3e-5)
+
+
+def test_ssim_grad_end_to_end_custom_radius(rng):
+    """jax.grad(ssim(radius=8)) routes through the fused backward (not
+    the XLA VJP) and matches it."""
+    import ssim_tpu.ops.ssim_grad as grad_mod
+    from ssim_tpu import ssim
+
+    a, b = _float_pair(rng, 38, 54)
+    gp = jax.grad(lambda x: ssim(x, b, impl="pallas", data_range=1.0,
+                                 radius=8, sigma=2.5))(a)
+    gx = jax.grad(lambda x: ssim(x, b, impl="xla", data_range=1.0,
+                                 radius=8, sigma=2.5))(a)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=2e-6)
 
 
 def test_ssim_loss_uses_pallas_backward(rng, monkeypatch):
@@ -368,8 +427,8 @@ def test_grad_wide_column_chunked(rng):
         a, b, 1.0, 0.25, data_range=1.0, interpret=True
     )
     want_da, want_db = np.asarray(want_da), np.asarray(want_db)
-    old = sg.GRAD_MAX_W, sg.GRAD_CHUNK_W
-    sg.GRAD_MAX_W, sg.GRAD_CHUNK_W = 1200, 1024
+    old = sg.GRAD_MAX_W
+    sg.GRAD_MAX_W = 1200  # chunk_w derives from it (owned + 4r window)
     try:
         # The patched globals are read at TRACE time; the first call's
         # jit cache entry (same shapes + statics) would otherwise be
@@ -383,7 +442,7 @@ def test_grad_wide_column_chunked(rng):
         np.testing.assert_allclose(np.asarray(da), want_da, atol=tol)
         np.testing.assert_allclose(np.asarray(db), want_db, atol=tol)
     finally:
-        sg.GRAD_MAX_W, sg.GRAD_CHUNK_W = old
+        sg.GRAD_MAX_W = old
         jax.clear_caches()  # drop the patched-globals trace too
 
     aw, bw = _float_pair(rng, 16, 8000)  # > GRAD_MAX_W: real chunking

@@ -360,3 +360,65 @@ def test_relaxed_precise_conflict(rng):
     a, b = random_pair(rng, 32, 640)
     with pytest.raises(ValueError, match="relaxed"):
         sp.ssim_parts_pallas(a, b, interpret=True, precise=True, relaxed=True)
+
+
+@pytest.mark.parametrize("h,w,batch", [(40, 72, None), (95, 300, 2),
+                                       (33, 129, None), (70, 4500, None)])
+def test_rowsum_mode_matches_map_rows(rng, h, w, batch):
+    """rowsum=True (round-4, for score-only spatial sharding): per-row
+    SSIM sums with NO map in HBM, matching f64 row sums of the map on
+    both the fast and chunked paths, odd geometries and batches included.
+    The kernel emits per-row (ssim - 1) partials and the host adds back
+    w — finer than f32-summing the map's w near-1.0 terms."""
+    import ssim_tpu.ops.ssim_pallas as sp
+
+    shape = (h, w) if batch is None else (batch, h, w)
+    a = rng.integers(0, 256, shape).astype(np.uint8)
+    b = rng.integers(0, 256, shape).astype(np.uint8)
+    rows, m = sp.ssim_parts_pallas(a, b, rowsum=True, interpret=True)
+    assert m is None
+    _, smap = sp.ssim_parts_pallas(a, b, with_map=True, interpret=True)
+    want = np.asarray(smap, np.float64).sum(axis=-1)
+    got = np.asarray(rows)
+    assert got.shape == want.shape
+    # f32 row sums: tolerance scales with the summed magnitude ~w.
+    np.testing.assert_allclose(got, want, atol=3e-5 * w)
+
+
+def test_rowsum_mode_float_path(rng):
+    """rowsum on the sanitized float path, plus its NaN-input poison."""
+    import jax.numpy as jnp
+
+    import ssim_tpu.ops.ssim_pallas as sp
+
+    a = rng.random((50, 200), np.float32)
+    b = rng.random((50, 200), np.float32)
+    rows, _ = sp.ssim_parts_pallas(
+        jnp.asarray(a), jnp.asarray(b), rowsum=True, allow_float=True,
+        data_range=1.0, interpret=True,
+    )
+    _, smap = sp.ssim_parts_pallas(
+        jnp.asarray(a), jnp.asarray(b), with_map=True, allow_float=True,
+        data_range=1.0, interpret=True,
+    )
+    want = np.asarray(smap, np.float64).sum(axis=-1)
+    np.testing.assert_allclose(np.asarray(rows), want, atol=3e-5 * 200)
+
+    a[7, 3] = np.nan  # invalid input must poison the score, not vanish
+    rows_n, _ = sp.ssim_parts_pallas(
+        jnp.asarray(a), jnp.asarray(b), rowsum=True, allow_float=True,
+        data_range=1.0, interpret=True,
+    )
+    assert np.isnan(np.asarray(rows_n).sum())
+
+
+def test_rowsum_conflicts(rng):
+    import ssim_tpu.ops.ssim_pallas as sp
+
+    a, b = random_pair(rng, 32, 64)
+    with pytest.raises(ValueError, match="rowsum"):
+        sp.ssim_parts_pallas(a, b, rowsum=True, with_map=True,
+                             interpret=True)
+    with pytest.raises(ValueError, match="rowsum"):
+        sp.ssim_parts_pallas(a, b, rowsum=True, precise=True,
+                             interpret=True)

@@ -68,12 +68,27 @@ def test_engine_precision_f64_pallas(rng):
     assert abs(float(got) - want) < MEASURED_GLOBAL
 
 
-def test_engine_precision_f64_fallback_non_u8(rng):
-    """Non-u8 inputs fall back to the f64 oracle (documented)."""
+def test_engine_precision_f64_u16_stays_df32(rng):
+    """u16 inputs embed exactly in f32, so precision='f64' keeps the
+    compensated kernel (round-4 cliff fix; previously fell to the host
+    oracle). Values above 2^12 square inexactly in f32, so the tier here
+    is one product rounding (~2^-24 relative) pre-compensation — still
+    well inside the reference double build's 5e-7 global tier, just not
+    the u8 path's exact-squares bound."""
     a = rng.integers(0, 60000, (48, 64)).astype(np.uint16)
     b = rng.integers(0, 60000, (48, 64)).astype(np.uint16)
     got, _ = engine.compute(a, b, impl="pallas", precision="f64", data_range=65535.0)
     want, _ = reference.compute_ssim(a, b, data_range=65535.0)
+    assert abs(float(got) - want) < 2e-7 < DOUBLE_TIER_GLOBAL
+
+
+def test_engine_precision_f64_fallback_f64_input(rng):
+    """f64 inputs (lossy f32 cast) fall back to the f64 oracle
+    (documented)."""
+    a = rng.random((48, 64)).astype(np.float64)
+    b = rng.random((48, 64)).astype(np.float64)
+    got, _ = engine.compute(a, b, impl="pallas", precision="f64", data_range=1.0)
+    want, _ = reference.compute_ssim(a, b, data_range=1.0)
     assert abs(float(got) - want) < 1e-12
 
 

@@ -77,13 +77,56 @@ def test_xla_custom_radius_matches_oracle(rng, radius, sigma):
     assert got == pytest.approx(want, abs=2e-6)
 
 
-def test_pallas_custom_radius_falls_back_to_xla(rng):
-    """impl='pallas' + non-default radius silently rides the XLA path
-    (same convention as the dtype fallback) and stays correct."""
+@pytest.mark.parametrize("radius,sigma", [(1, 0.8), (3, 1.5), (8, 2.5), (16, 4.0)])
+def test_pallas_fused_custom_radius(rng, radius, sigma):
+    """impl='pallas' + non-default radius rides the FUSED kernel for any
+    radius <= MAX_FUSED_RADIUS (the halo geometry is built from the taps
+    at trace time) — score and map against the f64 oracle."""
     a, b = random_pair(rng, 33, 47)
-    want, _ = reference.compute_ssim(a, b, radius=3, sigma=1.5)
-    got = compute_ssim(a, b, impl="pallas", radius=3)
+    want, want_map = reference.compute_ssim(
+        a, b, with_map=True, radius=radius, sigma=sigma
+    )
+    got, got_map = compute_ssim(
+        a, b, with_map=True, impl="pallas", radius=radius, sigma=sigma
+    )
     assert got == pytest.approx(want, abs=2e-6)
+    np.testing.assert_allclose(got_map, want_map, atol=1e-3)
+
+
+def test_pallas_oversized_radius_falls_back_to_xla(rng):
+    """radius > MAX_FUSED_RADIUS silently rides the XLA path (same
+    convention as the dtype fallback) and stays correct."""
+    a, b = random_pair(rng, 48, 40)
+    want, _ = reference.compute_ssim(a, b, radius=17, sigma=5.0)
+    got = compute_ssim(a, b, impl="pallas", radius=17, sigma=5.0)
+    assert got == pytest.approx(want, abs=2e-6)
+
+
+def test_pallas_fused_custom_radius_chunked(rng):
+    """Custom radius on the zero-copy CHUNKED wide-image path
+    (w > TILE_W)."""
+    a, b = random_pair(rng, 8, 4400)
+    want, _ = reference.compute_ssim(a, b, radius=3, sigma=1.2)
+    got = compute_ssim(a, b, impl="pallas", radius=3, sigma=1.2)
+    assert got == pytest.approx(want, abs=2e-6)
+
+
+def test_packed_path_custom_radius(rng):
+    """Custom radius on the lane-packed small-batch path (the gutters are
+    radius-wide, so the packing pitch tracks the window)."""
+    from ssim_tpu.ops.routing import ssim_parts_auto
+    from ssim_tpu import engine
+    import jax.numpy as jnp
+
+    a = np.stack([random_pair(rng, 64, 64)[0] for _ in range(4)])
+    b = np.clip(a.astype(np.int32) + 7, 0, 255).astype(np.uint8)
+    parts, _ = ssim_parts_auto(
+        jnp.asarray(a), jnp.asarray(b), interpret=True, radius=3, sigma=1.2
+    )
+    got = engine.finalize_mean(np.asarray(parts), 64 * 64)
+    for i in range(4):
+        want, _ = reference.compute_ssim(a[i], b[i], radius=3, sigma=1.2)
+        assert got[i] == pytest.approx(want, abs=2e-6)
 
 
 @pytest.mark.parametrize("h,w", [(40, 56), (64, 200)])
@@ -108,11 +151,56 @@ def test_default_kwargs_are_identity(rng):
     )
 
 
-def test_precise_custom_radius_uses_oracle(rng):
+def test_precise_custom_radius_stays_df32(rng):
+    """precision='f64' + custom radius <= 16 keeps the compensated kernel
+    (the df32 tier is radius-generic too)."""
     a, b = random_pair(rng, 20, 24)
     want, _ = reference.compute_ssim(a, b, radius=3)
-    got = compute_ssim(a, b, precision="f64", radius=3)
+    got = compute_ssim(a, b, impl="pallas", precision="f64", radius=3)
+    assert got == pytest.approx(want, abs=1e-8)
+
+
+def test_precise_oversized_radius_uses_oracle(rng):
+    a, b = random_pair(rng, 20, 24)
+    want, _ = reference.compute_ssim(a, b, radius=17, sigma=5.0)
+    got = compute_ssim(a, b, precision="f64", radius=17, sigma=5.0)
     assert got == pytest.approx(want, abs=1e-13)
+
+
+def test_precise_float_input_stays_df32(rng):
+    """precision='f64' with float32 inputs rides the kernel's df32 float
+    path (round-4 cliff fix) — accuracy inside the df32 tier, far beyond
+    plain f32."""
+    a8, b8 = random_pair(rng, 40, 48)
+    a = a8.astype(np.float32) / 255.0
+    b = b8.astype(np.float32) / 255.0
+    want, _ = reference.compute_ssim(a, b, data_range=1.0)
+    got = compute_ssim(a, b, impl="pallas", precision="f64", data_range=1.0)
+    assert got == pytest.approx(want, abs=1e-8)
+
+
+def test_precise_f64_input_keeps_oracle(rng):
+    """f64 inputs would round to f32 before the compensated arithmetic —
+    those keep the host oracle (exact)."""
+    a8, b8 = random_pair(rng, 24, 24)
+    a = a8.astype(np.float64) / 255.0
+    b = b8.astype(np.float64) / 255.0
+    want, _ = reference.compute_ssim(a, b, data_range=1.0)
+    got = compute_ssim(a, b, impl="pallas", precision="f64", data_range=1.0)
+    assert got == pytest.approx(want, abs=1e-13)
+
+
+def test_precise_downsample_stays_df32(rng):
+    """precision='f64' + downsample: pooled images are device f32 and now
+    ride the df32 float path instead of falling to the oracle."""
+    a, b = random_pair(rng, 64, 64)
+    from ssim_tpu.engine import box_decimate
+
+    want, _ = reference.compute_ssim(
+        box_decimate(a, 2), box_decimate(b, 2)
+    )
+    got = compute_ssim(a, b, impl="pallas", precision="f64", downsample=2)
+    assert got == pytest.approx(want, abs=1e-8)
 
 
 def test_precise_custom_sigma_stays_df32(rng):
