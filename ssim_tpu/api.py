@@ -8,7 +8,9 @@ Mirrors the reference's public surface (include/rmgr/ssim.h:428-732):
   Python float (f64-finalized), optionally with the per-pixel map.
 - `ssim` / `ssim_and_map` — jittable on-device versions for use inside
   larger JAX programs (new TPU-native surface; the global score is f32 on
-  device, which is documented as weaker than `compute_ssim`'s f64 finalize).
+  device, finalized by a compensated df32 reduction that matches
+  `compute_ssim`'s host f64 finalize to f32 representability — see
+  _device_finalize).
 - `ssim_loss` — differentiable 1 - mean(SSIM) perceptual loss (new
   TPU-native surface; the reference has no autodiff story).
 """
@@ -197,6 +199,36 @@ def _pallas_with_pallas_vjp(pallas_fn, data_range, interpret, n, with_map,
     return f
 
 
+def _device_finalize(partials, n: int):
+    """On-device f64-grade mean of the f32 partial sums: a compensated
+    (df32) pairwise tree over the partials axis plus one compensated
+    division by n. Matches the eager path's host f64 finalize
+    (engine.finalize_mean — the reference's always-double accumulation,
+    src/ssim.cpp:594) to f32 representability: the plain
+    `jnp.sum(partials) / n` it replaces loses up to ~2e-6 at 4K (tile
+    partials have magnitude ~1e5, so each f32 add rounds at ulp(total));
+    the df32 tree keeps the full sum to ~1 ulp. Differentiable: every
+    two_sum/two_prod branch has unit Jacobian in the data path, so
+    autodiff through it equals autodiff through the plain mean."""
+    from .ops.ssim_pallas import _df_add, _df_const, _df_div
+
+    hi, lo = partials, jnp.zeros_like(partials)
+    k = hi.shape[-1]
+    m = 1 << (k - 1).bit_length()
+    if m != k:
+        pad = [(0, 0)] * (hi.ndim - 1) + [(0, m - k)]
+        hi = jnp.pad(hi, pad)
+        lo = jnp.pad(lo, pad)
+    x = (hi, lo)
+    while m > 1:
+        m //= 2
+        x = _df_add(
+            (x[0][..., :m], x[1][..., :m]), (x[0][..., m:], x[1][..., m:])
+        )
+    s = (x[0][..., 0], x[1][..., 0])
+    return _df_div(s, _df_const(float(n)))[0]
+
+
 def _run_metric(a, b, impl, data_range, with_map, relaxed=False,
                 radius=5, sigma=1.5, k1=0.01, k2=0.03):
     """Shared body of ssim/ssim_and_map: dtype routing (ops.routing), a
@@ -223,7 +255,7 @@ def _run_metric(a, b, impl, data_range, with_map, relaxed=False,
 
     def finish(parts):
         partials, ssim_map = parts
-        score = jnp.sum(partials, axis=-1) / n
+        score = _device_finalize(partials, n)
         return (score, ssim_map) if with_map else score
 
     def xla_fn(xa, xb):
@@ -289,10 +321,13 @@ def ssim(
 ) -> jnp.ndarray:
     """Jittable global SSIM, f32 on device. a, b: (..., H, W).
 
-    Returns scalar for 2-D inputs, (B,) for batched. Differentiable for
-    float inputs on every impl: f32 score-only calls use the fused
-    analytic backward kernel (ops/ssim_grad.py, ~5.7 Gpix/s on v5e);
-    other cases carry an XLA-formulation custom VJP.
+    Returns scalar for 2-D inputs, (B,) for batched. The score is
+    finalized on device by a compensated df32 reduction
+    (_device_finalize) matching compute_ssim's host f64 finalize to f32
+    representability. Differentiable for float inputs on every impl:
+    f32 score-only calls use the fused analytic backward kernel
+    (ops/ssim_grad.py, ~5.7 Gpix/s on v5e); other cases carry an
+    XLA-formulation custom VJP.
 
     accuracy="relaxed" opts wide images into the fused kernel's fast
     bf16-split tier, forward and backward (see compute_ssim and

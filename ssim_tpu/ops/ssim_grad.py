@@ -48,9 +48,20 @@ input within 2r rows — the halo geometry is built from the radius at
 trace time, so any radius <= MAX_FUSED_RADIUS rides this kernel,
 matching the forward), the forward blurs recomputed in VMEM (recompute
 beats saving four blurred maps to HBM), both vertical passes as MXU band
-matmuls, both horizontal passes VPU roll-mode. Work is ~8
-blur-equivalents vs the forward's 4, so the speed-of-light target for
-(da, db) together is ~1/2 the forward throughput.
+matmuls, both horizontal passes VPU roll-mode.
+
+Speed of light (round-4 analysis; docs/RESULTS.md "Backward kernel
+ceiling"): the naive "~8 blur-equivalents => ~1/2 forward" bound is
+wrong because the kernel is MXU-PASS-bound, and the backward's MXU work
+is 2.4x the forward's, not 2x — stage-1 blurs run at mid-row inflation
+((tile_h+2*mb)/tile_h = 1.25 at tile_h 64) and all eight vertical band
+matmuls are 6-pass HIGHEST. Counting bf16 MXU passes per output pixel
+(r=5, tile_h=64): forward 3,576, backward 8,526 => predicted
+14.0 * 3576/8526 = 5.87 Gpix/s; measured 5.78 (98.5%). The measured
+levers agree: tile_h in {48,64,80,96} -> 64 best; pushing either heavy
+hpass stage back to the VPU (SSIM_TPU_GRAD_SPLIT=vpu1|vpu2) loses 14%;
+mu-on-MXU lost 28% in the forward. This kernel is at its structural
+ceiling for the standard tier.
 """
 
 import functools
@@ -230,6 +241,13 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
         hp_mxu = None
     hpT = _make_hpassT_roll(t, r, w)
     hmat = jnp.asarray(hpass_tap_matrix(taps))
+    # Unit-balance measurement knob (tools/sweep.py): push the heavy
+    # stage-1 (ss/dd) or stage-2 (tss/tdd) horizontal passes back to the
+    # VPU. Default "" keeps both on the MXU (measured best; see
+    # docs/RESULTS.md "Backward kernel ceiling").
+    import os as _os
+
+    _split = _os.environ.get("SSIM_TPU_GRAD_SPLIT", "")
 
     with_g = gmap is not None
 
@@ -335,10 +353,11 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
                 return _dot(m, x, jax.lax.Precision.HIGHEST)
 
         # Stage 1: forward blurs at the mid rows (recomputed in VMEM).
+        hp1 = hp if (_split == "vpu1" and use_mxu) else hp_heavy
         u = hp(vpass(m1, af))
         v = hp(vpass(m1, bf))
-        ss = hp_heavy(vpass(m1, s_band * s_band))
-        dd = hp_heavy(vpass(m1, d_band * d_band))
+        ss = hp1(vpass(m1, s_band * s_band))
+        dd = hp1(vpass(m1, d_band * d_band))
 
         # Pointwise partials (see module docstring; autodiff-verified).
         uv = u * v
@@ -369,10 +388,11 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
 
         # Stage 2: adjoint blur (transposed band matmul + transposed
         # roll hpass) back to the tile's own rows.
+        hpT2 = hpT if (_split == "vpu2" and use_mxu) else hpT_heavy
         tu = hpT(vpass(m2t, w_u))
         tv = hpT(vpass(m2t, w_v))
-        tss = hpT_heavy(vpass(m2t, w_ss))
-        tdd = hpT_heavy(vpass(m2t, w_dd))
+        tss = hpT2(vpass(m2t, w_ss))
+        tdd = hpT2(vpass(m2t, w_dd))
 
         s_out = s_band[hb2 : hb2 + tile_h]
         d_out = d_band[hb2 : hb2 + tile_h]

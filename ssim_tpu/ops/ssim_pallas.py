@@ -76,12 +76,17 @@ MAX_FUSED_RADIUS = 16
 
 #: Output tile shape. Measured on v5e: short-and-wide tiles win
 #: (pipelining is better and lane-tile fragmentation lower). Full-width
-#: 32-row tiles handle up to 4K width (11.9 Gpix/s at 4K, 10.7 at 1080p)
-#: within the 16 MiB VMEM scoped limit; wider images fall back to the
-#: banded 2-D grid. (Mosaic's liveness accounting is coarser than a hand
-#: count, so leave headroom.)
+#: 32-row tiles ride the zero-copy fast path up to TILE_W lanes; wider
+#: images fall back to the banded 2-D lane-chunk grid. Round-4 sweep
+#: (tools/sweep.py, u8 no-map, Gpix/s): the fast path holds full speed
+#: far past the old 4096 gate — 7680: 14.6 (chunked managed 12.4),
+#: 12288: 14.6, 14336: 14.9, 16384: 15.0, then declines (24576: 12.8,
+#: 32768: 12.5) as the scoped-VMEM window crowds out double-buffering —
+#: still above the chunked path (12.3 at 24576), but the decline plus
+#: the VMEM hard ceiling (~34K lanes at 100 MiB) argues for handing the
+#: tail to the chunked grid at the measured sweet-spot edge.
 TILE_H = 32
-TILE_W = 4096
+TILE_W = 16384
 
 #: Fast-path lane strategy: "auto" (default) picks per width via
 #: _lane_mode_for — "mxu" for w >= MXU_MIN_W, else "roll" (unwidened
@@ -580,10 +585,18 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
     # limit for exactly that configuration — v5e has 128 MiB physical
     # VMEM, and the measured throughput cost of the lost double-buffer
     # headroom is nil (same lever as the backward kernel).
-    float_wide = float_mode and 32 * (w + 2 * r) > _FLOAT_FAST_PATH_BUDGET
+    budget = _FLOAT_FAST_PATH_BUDGET if float_mode else _FAST_PATH_BUDGET
+    load = tile_h * (w + 2 * r)
+    # Scoped-VMEM tiers for the widened fast path (v5e: 128 MiB physical;
+    # the backward kernel already runs a 100 MiB window): measured on v5e
+    # 2026-08-19 — 64 MiB covers w=16384 u8 at full speed (15.0 Gpix/s),
+    # w=24576 needs 71.6M (the 100 MiB tier; 12.8 Gpix/s — past the
+    # sweet spot but still above the chunked path's 12.3). The measured
+    # cost of the lost double-buffer headroom is nil through 16K.
     vmem_limit = (
-        32 * 1024 * 1024
-        if (with_map and lane_mode != "concat" and w > 2048) or float_wide
+        (100 if load > 5 * budget else 64 if load > 2 * budget else 32)
+        * 1024 * 1024
+        if (with_map and lane_mode != "concat" and w > 2048) or load > budget
         else None
     )
     if lane_roll:
@@ -1584,7 +1597,11 @@ def pack_count(w: int, batch: int, itemsize: int = 1,
     if itemsize > 1:
         limit = (_FLOAT_FAST_PATH_BUDGET // 32 - 2 * radius) // pitch
     else:
-        limit = (TILE_W + COL_OVERLAP - 2 * radius) // pitch
+        # Packed rows stay at the round-3-measured 4K width (the packing
+        # crossovers in PACK_MAX_W's note were swept there); the round-4
+        # TILE_W=16384 widening applies to plain wide images, not to how
+        # many thumbnails one row should carry.
+        limit = (4096 + COL_OVERLAP - 2 * radius) // pitch
     return max(1, min(batch, limit))
 
 

@@ -27,19 +27,23 @@ import numpy as np
 
 
 def make_runner(impl: str, with_map: bool, precise: bool = False,
-                relaxed: bool = False):
+                relaxed: bool = False, call_kwargs: Optional[dict] = None):
     """A jitted (a, b, iters) -> scalar on-device benchmark loop.
 
     impl: a dispatch implementation name, or the two pseudo-impls
     "grad" (the fused backward kernel, f32 inputs) and "msssim"
     (the 5-scale pyramid). relaxed: the loose bf16-split accuracy tier
-    (pallas/auto impls only)."""
+    (pallas/auto impls only). call_kwargs: extra static kwargs passed
+    through to the underlying call — the sweep tool (tools/sweep.py)
+    uses this to parametrize tile_h / max_tile_w / rowsum etc. without
+    a bespoke experiment script per lever."""
     import jax
     import jax.numpy as jnp
 
     from ..dispatch import backend_platform
 
     interpret = backend_platform() != "tpu"
+    kw = dict(call_kwargs or {})
 
     if impl == "grad":
         from ..ops.ssim_grad import ssim_grad_pallas
@@ -47,7 +51,7 @@ def make_runner(impl: str, with_map: bool, precise: bool = False,
         def parts(a, b):
             da, db = ssim_grad_pallas(
                 a, b, 1.0, 0.0, data_range=255.0, interpret=interpret,
-                relaxed=relaxed,
+                relaxed=relaxed, **kw,
             )
             return da[..., 0, 0] + db[..., 0, 0], None
     elif impl == "msssim":
@@ -64,7 +68,7 @@ def make_runner(impl: str, with_map: bool, precise: bool = False,
         def parts(a, b):
             return ssim_parts_auto(
                 a, b, with_map=with_map, interpret=interpret, precise=precise,
-                relaxed=relaxed,
+                relaxed=relaxed, **kw,
             )
     elif impl == "pallas":
         from ..ops.ssim_pallas import ssim_parts_pallas
@@ -72,7 +76,7 @@ def make_runner(impl: str, with_map: bool, precise: bool = False,
         def parts(a, b):
             return ssim_parts_pallas(
                 a, b, with_map=with_map, interpret=interpret, precise=precise,
-                relaxed=relaxed,
+                relaxed=relaxed, **kw,
             )
     else:
         from ..ops.ssim_xla import ssim_parts_xla
@@ -110,6 +114,7 @@ def device_throughput(
     precise: bool = False,
     relaxed: bool = False,
     seed: int = 7,
+    call_kwargs: Optional[dict] = None,
 ) -> float:
     """Median-of-reps steady-state throughput in Mpix/s."""
     import jax
@@ -124,7 +129,8 @@ def device_throughput(
         b = b.astype(np.float32)
     a_dev = jax.device_put(a)
     b_dev = jax.device_put(b)
-    run = make_runner(impl, with_map, precise=precise, relaxed=relaxed)
+    run = make_runner(impl, with_map, precise=precise, relaxed=relaxed,
+                      call_kwargs=call_kwargs)
 
     short, long_ = max(1, iters // 8), iters
     for it in (short, long_):  # warmup/compile both loop lengths

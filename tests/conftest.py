@@ -61,3 +61,25 @@ def random_pair(rng, h, w, correlated=True):
         noise = rng.normal(0, 12, (h, w))
         b = np.clip(a.astype(np.int32) + noise.astype(np.int32), 0, 255).astype(np.uint8)
     return a, b
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def force_chunked(max_tile_w: int = 4096):
+    """Pin the fast path's width gate back to `max_tile_w` through the
+    config system, so engine/API-level tests can still exercise the
+    chunked 2-D lane-grid path at CI-sized widths (the round-4 default
+    gate moved to 16384 — plain 4-9K-wide images now ride the widened
+    zero-copy fast path)."""
+    from ssim_tpu import config
+
+    old = config.get_config()
+    import dataclasses
+
+    config.set_config(dataclasses.replace(old, max_tile_w=max_tile_w))
+    try:
+        yield
+    finally:
+        config.set_config(old)

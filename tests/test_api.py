@@ -350,13 +350,15 @@ def test_nan_input_propagates(rng):
                              interpret=True, allow_float=True)
     assert np.isnan(np.asarray(p)).any()
     assert np.isnan(np.asarray(m)).any()
-    # wide image -> chunked path
+    # wide image: the NaN/inf poison must survive BOTH wide routes (the
+    # default widened fast path and the forced chunked grid)
     aw = rng.random((40, 4500)).astype(np.float32)
     bw = aw.copy()
     aw[20, 4000] = np.inf
-    p, _ = ssim_parts_pallas(aw, bw, data_range=1.0, interpret=True,
-                             allow_float=True)
-    assert np.isnan(np.asarray(p)).any()
+    for kw in ({}, {"max_tile_w": 4096}):
+        p, _ = ssim_parts_pallas(aw, bw, data_range=1.0, interpret=True,
+                                 allow_float=True, **kw)
+        assert np.isnan(np.asarray(p)).any()
 
 
 def test_hdr_data_range_correct(rng):
@@ -560,3 +562,28 @@ def test_accuracy_relaxed_api(rng):
         compute_ssim(a, b, accuracy="relaxed", precision="f64")
     with pytest.raises(InvalidArgumentError):
         ssim(jnp.asarray(a), jnp.asarray(b), accuracy="bogus")
+
+
+def test_jitted_ssim_matches_f64_finalize(rng):
+    """The jitted ssim()'s on-device compensated finalize
+    (api._device_finalize) must match compute_ssim's host f64 finalize
+    to f32 representability — the plain f32 partials sum it replaced
+    lost ~2e-6 at 4K (VERDICT r3 weak #7). ulp(0.99) = 6e-8; allow 4."""
+    import jax.numpy as jnp
+
+    from ssim_tpu import compute_ssim, ssim
+
+    a = rng.integers(0, 256, (2160, 3840), dtype=np.uint8)
+    b = np.clip(
+        a.astype(np.int16) + rng.normal(0, 8, a.shape).astype(np.int16),
+        0, 255,
+    ).astype(np.uint8)
+    want = compute_ssim(a, b)
+    got = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    assert abs(got - want) < 2.4e-7
+    # batched shape keeps the per-image finalize
+    ab = np.stack([a[:256], b[:256]])
+    bb = np.stack([b[:256], a[:256]])
+    got_b = np.asarray(ssim(jnp.asarray(ab), jnp.asarray(bb)))
+    want_b = compute_ssim(ab, bb)
+    np.testing.assert_allclose(got_b, np.asarray(want_b), atol=2.4e-7)

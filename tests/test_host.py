@@ -132,3 +132,57 @@ print("OK")
         capture_output=True, text=True, timeout=300,
     )
     assert r.returncode == 0 and "OK" in r.stdout, r.stderr[-2000:]
+
+
+def test_host_thread_scaling(rng):
+    """OpenMP thread SCALING of the native host backend — the
+    reference's headline table is 1T -> 8T scaling on its own machine
+    (README.md:45-48). Needs real cores: auto-skips on single-core VMs
+    (this repo's usual environment; correctness of the banded
+    multithread path is covered above on 1 core by oversubscription).
+    When cores exist: throughput at OMP_NUM_THREADS=nproc must beat
+    1-thread by >= 1.3x (a deliberately loose floor — bands scale
+    near-linearly on real cores)."""
+    import os
+    import subprocess
+    import sys
+
+    ncpu = os.cpu_count() or 1
+    if ncpu < 2:
+        pytest.skip("thread scaling needs >= 2 cores (nproc == 1)")
+
+    code = r"""
+import time
+import numpy as np, jax
+jax.config.update("jax_platforms", "cpu")
+from ssim_tpu.ops import host
+assert host.is_available()
+rng = np.random.default_rng(11)
+a = rng.integers(0, 256, (1080, 1920), dtype=np.uint8)
+b = np.clip(a.astype(np.int16) + rng.normal(0, 12, a.shape).astype(np.int16), 0, 255).astype(np.uint8)
+host.compute(a, b)  # warmup
+reps = 5
+t0 = time.perf_counter()
+for _ in range(reps):
+    host.compute(a, b)
+dt = (time.perf_counter() - t0) / reps
+print("MPIXS", a.size * 1e-6 / dt)
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(threads):
+        env = dict(os.environ)
+        env["OMP_NUM_THREADS"] = str(threads)
+        env["JAX_PLATFORMS"] = "cpu"
+        r = subprocess.run(
+            [sys.executable, "-c", code], cwd=repo, env=env,
+            capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return float(r.stdout.split("MPIXS")[1].strip().split()[0])
+
+    t1 = run(1)
+    tn = run(ncpu)
+    print(f"host scaling: 1T {t1:.1f} -> {ncpu}T {tn:.1f} Mpix/s "
+          f"({tn / t1:.2f}x)")
+    assert tn > 1.3 * t1, (t1, tn)

@@ -160,11 +160,12 @@ def test_pallas_impl_grad_matches_xla(rng):
 
 
 def test_pallas_wide_inputs_use_chunked_path(rng):
-    """Wide float/u8 pyramids run through the kernel's chunked path (the
-    pad kernel is dtype-generic) and must agree with XLA."""
+    """Wide float/u8 pyramids must agree with XLA (these widths ride the
+    round-4 widened fast path; the chunked grid is covered by the forced
+    tests in test_pallas.py)."""
     from ssim_tpu.models.msssim import ms_ssim
 
-    # float32 wider than one tile: scale 0 takes the f32 chunked path.
+    # float32 wider than one tile: scale 0 takes the wide f32 route.
     a = rng.uniform(0, 255, (180, 4500)).astype(np.float32)
     b = np.clip(a + rng.normal(0, 10, a.shape).astype(np.float32), 0, 255)
     got = float(ms_ssim(a, b, impl="pallas"))
@@ -217,3 +218,41 @@ def test_msssim_relaxed_tier(rng):
                           accuracy="relaxed")
     )(af)
     assert bool(jnp.isfinite(g).all())
+
+
+@pytest.mark.parametrize("h,w,batch", [(64, 128, None), (63, 127, None),
+                                       (70, 96, 3), (41, 200, None)])
+def test_pooled_components_bit_identical_to_downsample2(rng, h, w, batch):
+    """ssim_components_pooled_pallas's fused 2x2 pool must be
+    BIT-identical to the separate _downsample2 reduce_window, and its
+    [cs, ssim] parts bit-identical to ssim_components_pallas — across
+    even/odd H/W, ragged tiles (h % tile_h != 0), and batches. A drift
+    here would only surface as a small MS-SSIM error otherwise
+    (advisor round-3 finding)."""
+    import jax.numpy as jnp
+
+    from ssim_tpu.dispatch import backend_platform
+    from ssim_tpu.models.msssim import _downsample2
+    from ssim_tpu.ops.ssim_pallas import (
+        ssim_components_pallas,
+        ssim_components_pooled_pallas,
+    )
+
+    # Compiled on TPU, interpret on CPU — NOT interpret-on-TPU, whose
+    # lax-lowered dots take different instruction paths than both the
+    # real Mosaic kernel and the CPU interpreter and break bit-equality.
+    interpret = backend_platform() != "tpu"
+    shape = (h, w) if batch is None else (batch, h, w)
+    a = rng.integers(0, 256, shape).astype(np.uint8)
+    b = rng.integers(0, 256, shape).astype(np.uint8)
+    parts, pa, pb = ssim_components_pooled_pallas(
+        jnp.asarray(a), jnp.asarray(b), interpret=interpret
+    )
+    parts0 = ssim_components_pallas(
+        jnp.asarray(a), jnp.asarray(b), interpret=interpret
+    )
+    assert np.array_equal(np.asarray(parts), np.asarray(parts0))
+    want_a = _downsample2(jnp.asarray(a, jnp.float32))
+    want_b = _downsample2(jnp.asarray(b, jnp.float32))
+    assert np.array_equal(np.asarray(pa), np.asarray(want_a))
+    assert np.array_equal(np.asarray(pb), np.asarray(want_b))

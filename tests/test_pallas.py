@@ -73,17 +73,32 @@ def test_pallas_matches_xla(rng):
     assert np.abs(mp - mx).max() < 5e-4
 
 
-def test_wide_image_chunked_path(rng):
-    """Images wider than one tile take the chunked-overlap 2-D grid path;
-    verify against the oracle (w=4500 > 4096-lane tile cap)."""
+def test_wide_image_fast_path(rng):
+    """4-9K-wide images ride the widened zero-copy fast path by default
+    (round-4: the gate moved from 4096 to 16384 lanes — measured 14.6 vs
+    the chunked path's 12.4 Gpix/s at 8K on v5e)."""
     a, b = random_pair(rng, 40, 4500)
     _check(a, b)
 
 
+def test_wide_image_chunked_path(rng):
+    """Images wider than TILE_W take the chunked-overlap 2-D grid path;
+    forced via the config gate now that the default gate sits at 16384
+    (CI-sized widths would otherwise ride the fast path)."""
+    from conftest import force_chunked
+
+    a, b = random_pair(rng, 40, 4500)
+    with force_chunked():
+        _check(a, b)
+
+
 def test_wide_image_chunk_multiple(rng):
     """Chunked path with w an exact multiple of the chunk width."""
+    from conftest import force_chunked
+
     a, b = random_pair(rng, 40, 6144)
-    _check(a, b)
+    with force_chunked():
+        _check(a, b)
 
 
 def test_map_on_nonmultiple_width(rng):
@@ -170,7 +185,8 @@ def test_float_wide_chunked_path(rng):
     a = rng.random((96, 4500)).astype(np.float32)
     b = np.clip(a + rng.normal(0, 0.05, a.shape).astype(np.float32), 0, 1)
     p, m = ssim_parts_pallas(a, b, with_map=True, data_range=1.0,
-                             interpret=True, allow_float=True)
+                             interpret=True, allow_float=True,
+                             max_tile_w=4096)
     want, want_map = reference.compute_ssim(a, b, with_map=True, data_range=1.0)
     got = float(np.asarray(p, np.float64).sum() / a.size)
     assert abs(got - want) < 1e-6
@@ -178,8 +194,10 @@ def test_float_wide_chunked_path(rng):
 
 
 def test_engine_wide_float_chunked(rng):
-    """Wide float32 via engine (interpret on CPU, COMPILED on the TPU
-    suite — validates the f32 chunked path's VMEM budget on hardware)."""
+    """Wide float32 via engine, BOTH wide routes (interpret on CPU,
+    COMPILED on the TPU suite — validates the f32 wide fast path's and
+    the chunked path's VMEM budgets on hardware)."""
+    from conftest import force_chunked
     from ssim_tpu import engine
 
     a = rng.random((96, 9000)).astype(np.float32)
@@ -187,48 +205,62 @@ def test_engine_wide_float_chunked(rng):
     got, _ = engine.compute(a, b, impl="pallas", data_range=1.0)
     want, _ = reference.compute_ssim(a, b, data_range=1.0)
     assert abs(float(got) - want) < 1e-6
+    with force_chunked():
+        got_c, _ = engine.compute(a, b, impl="pallas", data_range=1.0)
+    assert abs(float(got_c) - want) < 1e-6
 
 
 @pytest.mark.parametrize("seed", range(9))
 def test_fuzz_float_and_precise_paths(seed):
     """Randomized geometry/dtype/data_range fuzz over the float and
     precise kernel modes vs the f64 oracle; seeds >= 6 force wide
-    geometries so the chunked path gets coverage in every mode."""
+    geometries, run BOTH ways — the (now default) wide fast path and the
+    forced chunked path — so each keeps coverage in every mode."""
+    from conftest import force_chunked
+
     r = np.random.default_rng(7000 + seed)
     h = int(r.integers(1, 220))
     w = int(r.integers(1, 2200)) if seed < 6 else int(r.integers(4300, 7000))
     mode = seed % 3
+    tile_kws = [{}] if seed < 6 else [{}, {"max_tile_w": 4096}]
     if mode == 0:  # float32, arbitrary data_range (exercises the clip bound)
         dr = float(r.choice([1.0, 255.0, 1e4, 1e6]))
         a = (r.random((h, w)) * dr).astype(np.float32)
         b = np.clip(a + (r.normal(0, 0.04 * dr, a.shape)).astype(np.float32), 0, dr)
         from ssim_tpu.ops.ssim_pallas import ssim_parts_pallas
 
-        p, m = ssim_parts_pallas(a, b, with_map=True, data_range=dr,
-                                 interpret=True, allow_float=True)
         want, want_map = reference.compute_ssim(a, b, with_map=True, data_range=dr)
-        got = float(np.asarray(p, np.float64).sum() / a.size)
-        assert abs(got - want) < 5e-6
-        assert np.abs(np.asarray(m) - want_map).max() < 5e-5
+        for kw in tile_kws:
+            p, m = ssim_parts_pallas(a, b, with_map=True, data_range=dr,
+                                     interpret=True, allow_float=True, **kw)
+            got = float(np.asarray(p, np.float64).sum() / a.size)
+            assert abs(got - want) < 5e-6
+            assert np.abs(np.asarray(m) - want_map).max() < 5e-5
     elif mode == 1:  # uint16 through the engine routing
         from ssim_tpu import engine
 
         a = r.integers(0, 65536, (h, w)).astype(np.uint16)
         b = np.clip(a.astype(np.int32) + r.normal(0, 2500, a.shape).astype(np.int32),
                     0, 65535).astype(np.uint16)
-        got, _ = engine.compute(a, b, impl="pallas", data_range=65535.0)
         want, _ = reference.compute_ssim(a, b, data_range=65535.0)
-        assert abs(float(got) - want) < 2e-5
+        for kw in tile_kws:
+            import contextlib
+
+            ctx = force_chunked() if kw else contextlib.nullcontext()
+            with ctx:
+                got, _ = engine.compute(a, b, impl="pallas", data_range=65535.0)
+            assert abs(float(got) - want) < 2e-5
     else:  # precise mode, u8
         from ssim_tpu.ops.ssim_pallas import ssim_parts_pallas
 
         a = r.integers(0, 256, (h, w), dtype=np.uint8)
         b = np.clip(a.astype(np.int32) + r.normal(0, 14, a.shape).astype(np.int32),
                     0, 255).astype(np.uint8)
-        p, _ = ssim_parts_pallas(a, b, interpret=True, precise=True)
         want, _ = reference.compute_ssim(a, b)
-        got = float(np.asarray(p, np.float64).sum() / a.size)
-        assert abs(got - want) < 5e-9
+        for kw in tile_kws:
+            p, _ = ssim_parts_pallas(a, b, interpret=True, precise=True, **kw)
+            got = float(np.asarray(p, np.float64).sum() / a.size)
+            assert abs(got - want) < 5e-9
 
 
 def test_pick_tile_h_rules():
@@ -375,14 +407,18 @@ def test_rowsum_mode_matches_map_rows(rng, h, w, batch):
     shape = (h, w) if batch is None else (batch, h, w)
     a = rng.integers(0, 256, shape).astype(np.uint8)
     b = rng.integers(0, 256, shape).astype(np.uint8)
-    rows, m = sp.ssim_parts_pallas(a, b, rowsum=True, interpret=True)
-    assert m is None
     _, smap = sp.ssim_parts_pallas(a, b, with_map=True, interpret=True)
     want = np.asarray(smap, np.float64).sum(axis=-1)
-    got = np.asarray(rows)
-    assert got.shape == want.shape
-    # f32 row sums: tolerance scales with the summed magnitude ~w.
-    np.testing.assert_allclose(got, want, atol=3e-5 * w)
+    # Wide shapes run both routes (the default wide fast path AND the
+    # forced chunked grid, whose rowsum sums per-lane-chunk partials).
+    for kw in ([{}] if w <= 4096 else [{}, {"max_tile_w": 4096}]):
+        rows, m = sp.ssim_parts_pallas(a, b, rowsum=True, interpret=True,
+                                       **kw)
+        assert m is None
+        got = np.asarray(rows)
+        assert got.shape == want.shape
+        # f32 row sums: tolerance scales with the summed magnitude ~w.
+        np.testing.assert_allclose(got, want, atol=3e-5 * w)
 
 
 def test_rowsum_mode_float_path(rng):

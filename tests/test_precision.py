@@ -30,15 +30,19 @@ MEASURED_PIXEL = 5e-7
 
 @pytest.mark.parametrize("shape", [(67, 150), (256, 384), (77, 4200)])
 def test_precise_kernel_vs_oracle(rng, shape):
-    """Both the fast and the chunked path must hit the double tier with
-    large margin (the wide shape exercises the chunked path)."""
+    """Every df32 route must hit the double tier with large margin: the
+    fast path, the (round-4) widened fast path at 4K+, and the forced
+    chunked grid."""
     a, b = random_pair(rng, *shape)
     g0, m0 = reference.compute_ssim(a, b, with_map=True)
-    partials, m = ssim_parts_pallas(a, b, with_map=True, interpret=True, precise=True)
-    g = float(np.asarray(partials, np.float64).sum() / (shape[0] * shape[1]))
-    assert abs(g - g0) < MEASURED_GLOBAL < DOUBLE_TIER_GLOBAL
-    pix = np.abs(np.asarray(m, np.float64) - m0).max()
-    assert pix < MEASURED_PIXEL < DOUBLE_TIER_PIXEL
+    kws = [{}] if shape[1] <= 4096 else [{}, {"max_tile_w": 4096}]
+    for kw in kws:
+        partials, m = ssim_parts_pallas(a, b, with_map=True, interpret=True,
+                                        precise=True, **kw)
+        g = float(np.asarray(partials, np.float64).sum() / (shape[0] * shape[1]))
+        assert abs(g - g0) < MEASURED_GLOBAL < DOUBLE_TIER_GLOBAL
+        pix = np.abs(np.asarray(m, np.float64) - m0).max()
+        assert pix < MEASURED_PIXEL < DOUBLE_TIER_PIXEL
 
 
 def test_precise_beats_f32_mode(rng):

@@ -103,12 +103,18 @@ def test_pallas_oversized_radius_falls_back_to_xla(rng):
 
 
 def test_pallas_fused_custom_radius_chunked(rng):
-    """Custom radius on the zero-copy CHUNKED wide-image path
-    (w > TILE_W)."""
+    """Custom radius on the zero-copy CHUNKED wide-image path (forced
+    via the config gate — the round-4 default gate is 16384) AND on the
+    widened wide fast path (the default route at this width)."""
+    from conftest import force_chunked
+
     a, b = random_pair(rng, 8, 4400)
     want, _ = reference.compute_ssim(a, b, radius=3, sigma=1.2)
     got = compute_ssim(a, b, impl="pallas", radius=3, sigma=1.2)
     assert got == pytest.approx(want, abs=2e-6)
+    with force_chunked():
+        got_c = compute_ssim(a, b, impl="pallas", radius=3, sigma=1.2)
+    assert got_c == pytest.approx(want, abs=2e-6)
 
 
 def test_packed_path_custom_radius(rng):
@@ -425,12 +431,18 @@ def test_ms_ssim_custom_sigma_k(rng):
 
 
 def test_pallas_chunked_path_custom_sigma(rng):
-    """Custom sigma/k1/k2 on the CHUNKED wide-image kernel path
-    (w > TILE_W forces the padded four-BlockSpec route)."""
+    """Custom sigma/k1/k2 on the CHUNKED wide-image kernel path (forced
+    via the config gate) and the default wide fast path."""
+    from conftest import force_chunked
+
     a, b = random_pair(rng, 8, 4400)
     want, _ = reference.compute_ssim(a, b, sigma=2.0, k1=0.02, k2=0.05)
     got = compute_ssim(a, b, impl="pallas", sigma=2.0, k1=0.02, k2=0.05)
     assert got == pytest.approx(want, abs=2e-6)
+    with force_chunked():
+        got_c = compute_ssim(a, b, impl="pallas", sigma=2.0, k1=0.02,
+                             k2=0.05)
+    assert got_c == pytest.approx(want, abs=2e-6)
 
 
 def test_packed_path_custom_sigma_k(rng):
