@@ -29,7 +29,14 @@ def main():
         ("pallas_1080_nomap", dict(impl="pallas", with_map=False)),
         ("pallas_1080_map", dict(impl="pallas", with_map=True)),
         ("pallas_8k_nomap", dict(impl="pallas", with_map=False, batch=1, h=4320, w=7680, iters=64)),
+        # 16K UHD (15360x8640) rides the round-4 widened fast path in ONE
+        # full-width tile per row block (TILE_W=16384); 132 Mpix/call.
+        ("pallas_16k_nomap", dict(impl="pallas", with_map=False, batch=1, h=8640, w=15360, iters=16)),
         ("pallas_4k_f64mode", dict(impl="pallas", with_map=False, batch=4, h=2160, w=3840, iters=64, precise=True)),
+        # f32 inputs through the same compensated df32 tier (round-4:
+        # the precision="f64" cliff fix routes float images to the
+        # kernel instead of the host oracle).
+        ("pallas_4k_f64_float", dict(impl="pallas", with_map=False, batch=4, h=2160, w=3840, iters=64, precise=True, float_input=True, call_kwargs={"allow_float": True})),
         # Opt-in loose-accuracy tier (accuracy="relaxed"): bf16-split
         # MXU blurs on wide images. Diagnostic only - NOT headline-
         # eligible (its error tier is outside the reference's f32 one).
@@ -62,7 +69,8 @@ def main():
         file=sys.stderr,
     )
     best = max(results["pallas_4k_nomap"], results["pallas_1080_nomap"],
-               results["pallas_8k_nomap"], results["xla_1080_nomap"])
+               results["pallas_8k_nomap"], results["pallas_16k_nomap"],
+               results["xla_1080_nomap"])
     baseline = 232.4  # reference FMA+OpenMP no-map Mpix/s (README.md:48)
     print(
         json.dumps(

@@ -28,15 +28,17 @@ from .windows import C1, C2, RADIUS, SIGMA, gaussian_taps
 
 
 def _blur_separable(x: np.ndarray, taps: np.ndarray, radius: int) -> np.ndarray:
-    """Edge-padded separable blur, all in `x.dtype`."""
-    h, w = x.shape
-    xp = np.pad(x, radius, mode="edge")
-    rows = np.zeros((h + 2 * radius, w), dtype=x.dtype)
+    """Edge-padded separable blur over the last two axes, all in
+    `x.dtype`; leading axes (batch) broadcast through."""
+    h, w = x.shape[-2:]
+    pad = [(0, 0)] * (x.ndim - 2) + [(radius, radius), (radius, radius)]
+    xp = np.pad(x, pad, mode="edge")
+    rows = np.zeros(x.shape[:-2] + (h + 2 * radius, w), dtype=x.dtype)
     for i in range(2 * radius + 1):
-        rows += taps[i] * xp[:, i : i + w]
-    out = np.zeros((h, w), dtype=x.dtype)
+        rows += taps[i] * xp[..., :, i : i + w]
+    out = np.zeros(x.shape, dtype=x.dtype)
     for i in range(2 * radius + 1):
-        out += taps[i] * rows[i : i + h, :]
+        out += taps[i] * rows[..., i : i + h, :]
     return out
 
 
@@ -55,7 +57,10 @@ def compute_ssim(
     """Oracle SSIM of two single-channel images.
 
     a, b: (H, W) arrays; uint8 or float. Returns (global_ssim, map or None);
-    the map has dtype `dtype`, the global score is float64.
+    the map has dtype `dtype`, the global score is float64. Batched
+    (B, H, W) pairs vectorize through the same NumPy blurs (one pass over
+    the whole stack instead of a Python loop per image — the engine's
+    f64-oracle batch route) and return ((B,) float64, (B, H, W) map).
 
     radius/sigma/k1/k2 generalize the window and stabilization constants
     (extension; defaults are the reference contract, src/ssim.cpp:227-228
@@ -63,8 +68,11 @@ def compute_ssim(
     """
     a = np.asarray(a)
     b = np.asarray(b)
-    if a.ndim != 2 or a.shape != b.shape:
-        raise ValueError(f"expected matching (H, W) images, got {a.shape} vs {b.shape}")
+    if a.ndim not in (2, 3) or a.shape != b.shape:
+        raise ValueError(
+            f"expected matching (H, W) or (B, H, W) images, got "
+            f"{a.shape} vs {b.shape}"
+        )
     t = gaussian_taps(dtype, radius, sigma)
     af = a.astype(dtype)
     bf = b.astype(dtype)
@@ -78,5 +86,8 @@ def compute_ssim(
     num = (2.0 * mu_a * mu_b + c1) * (2.0 * sigma_ab + c2)
     den = (mu_a * mu_a + mu_b * mu_b + c1) * (sigma_a2 + sigma_b2 + c2)
     ssim_map = num / den
-    global_ssim = float(ssim_map.mean(dtype=np.float64))
+    if a.ndim == 2:
+        global_ssim = float(ssim_map.mean(dtype=np.float64))
+    else:
+        global_ssim = ssim_map.mean(axis=(-2, -1), dtype=np.float64)
     return global_ssim, (ssim_map if with_map else None)

@@ -115,6 +115,7 @@ def device_throughput(
     relaxed: bool = False,
     seed: int = 7,
     call_kwargs: Optional[dict] = None,
+    float_input: bool = False,
 ) -> float:
     """Median-of-reps steady-state throughput in Mpix/s."""
     import jax
@@ -124,7 +125,9 @@ def device_throughput(
     noise = rng.normal(0, 8, a.shape).astype(np.int16)
     b = np.clip(a.astype(np.int16) + noise, 0, 255).astype(np.uint8)
 
-    if impl == "grad":  # the backward kernel is float-only (u8 has no grad)
+    # grad is float-only (u8 has no gradient); float_input measures the
+    # sanitized f32 kernel path (pair with call_kwargs allow_float).
+    if impl == "grad" or float_input:
         a = a.astype(np.float32)
         b = b.astype(np.float32)
     a_dev = jax.device_put(a)
