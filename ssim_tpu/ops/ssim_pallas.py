@@ -553,10 +553,39 @@ def clamped_band_matrices(tile_h: int, band: int, taps: np.ndarray,
     return v
 
 
+def halo_band_matrices(tile_h: int, band: int, taps: np.ndarray,
+                       h: int, nh: int, hb: int = 8) -> np.ndarray:
+    """Vertical blur matrices for the halo-operand mode (vhalo): the
+    local (H, W) block is a window of a larger global image, with the
+    2*radius neighbor rows supplied as separate kernel operands instead
+    of being clamp-replicated — the spatial-sharding case
+    (parallel/spatial.py), where those rows arrive over ICI.
+
+    Same band layout invariant as clamped_band_matrices (band column k
+    of tile i holds VIRTUAL image row i*tile_h - hb + k), but taps are
+    NOT folded at the local edges: weights for virtual rows [-r, 0) and
+    [h, h+r) land on the band positions where the kernel splices the
+    halo operands (see band_of in _nopad_overlap_call). Out-of-window
+    band positions beyond the halos keep zero weight, which neutralizes
+    the clamped prev/next index maps' wrong rows and ragged-tile garbage
+    exactly as in the clamped variant."""
+    r = len(taps) // 2
+    v = np.zeros((nh, tile_h, band), np.float32)
+    for i in range(nh):
+        for y in range(tile_h):
+            if i * tile_h + y >= h:
+                continue  # garbage output row of the ragged last tile
+            for d in range(len(taps)):
+                src = i * tile_h + y - r + d  # virtual row, in [-r, h+r)
+                k = src - (i * tile_h - hb)
+                v[i, y, k] += taps[d]
+    return v
+
+
 def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h,
                         precise=False, components=False, clip_bound=131072.0,
                         colsum=False, relaxed=False, pool_out=False,
-                        rowsum=False):
+                        rowsum=False, vhalo=None):
     """Zero-copy fast path: the RAW (B, H, W) images are consumed directly
     by the kernel — no padding pass at all. Each instance reads three
     row blocks per image (prev/cur/next via clamped index maps; ragged
@@ -573,7 +602,13 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
     tile_h = max(32, min(max_tile_h, 256) // 32 * 32)
     nh = -(-h // tile_h)
     band = tile_h + 2 * hb
-    vmats = jnp.asarray(clamped_band_matrices(tile_h, band, taps, h, nh, hb))
+    # vhalo mode (spatial sharding): the 2r neighbor rows arrive as four
+    # separate (B, r, W) operands and are spliced into the band in VMEM,
+    # so the caller never materializes a halo-concatenated copy in HBM.
+    # The band matrices then carry true tap weights for virtual rows
+    # [-r, h+r) instead of folding clamp at the local edges.
+    mats = halo_band_matrices if vhalo is not None else clamped_band_matrices
+    vmats = jnp.asarray(mats(tile_h, band, taps, h, nh, hb))
     t = [float(v) for v in taps]
     lane_mode = _lane_mode_for(w, precise, relaxed)
     lane_roll = lane_mode == "roll"
@@ -610,8 +645,19 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
         hpass = hpass_mxu = _make_hpass(t, r, w, co=r)
     hmat = jnp.asarray(hpass_tap_matrix(taps))
 
+    # vhalo splice geometry (all static): virtual row h lands at band
+    # position pos_last in the last block; the second-to-last block can
+    # also reach past h when the last block is thinner than the radius.
+    last_rows = h - (nh - 1) * tile_h
+    pos_last = hb + last_rows
+
     def kernel(vm_ref, hm_ref, ap_ref, ac_ref, an_ref, bp_ref, bc_ref, bn_ref,
-               *out_refs):
+               *rest):
+        if vhalo is not None:
+            at_ref, ab_ref, bt_ref, bb_ref = rest[:4]
+            out_refs = rest[4:]
+        else:
+            out_refs = rest
         i = pl.program_id(1)
         vm = vm_ref[0]
         if lane_mode in ("mxu", "mxu3x"):
@@ -620,29 +666,64 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
         else:
             hpass_heavy = hpass_mxu
 
-        def band_of(prev_ref, cur_ref, nxt_ref):
-            raw = jnp.concatenate(
+        def to_f32(raw):
+            if raw.dtype == jnp.uint8:
+                return raw.astype(jnp.int32).astype(jnp.float32)
+            # Float inputs: ragged edge blocks carry uninitialized
+            # VMEM garbage that can be NaN/inf or huge-finite, which
+            # the band matrices' zero weights cannot neutralize once
+            # squared (0*inf = NaN — observed on real TPU, not in
+            # interpret mode). u8 garbage is always finite and small.
+            # nan_to_num alone is NOT enough: it maps inf to 3.4e38,
+            # whose square overflows right back to inf. The clip
+            # bound scales with data_range so legitimate HDR-range
+            # pixels survive; real NaN/inf INPUT pixels are poisoned
+            # back into the outputs below (the sanitize here may only
+            # remove garbage, never hide bad input).
+            return jnp.clip(
+                jnp.nan_to_num(raw.astype(jnp.float32)),
+                -clip_bound, clip_bound,
+            )
+
+        def band_of(prev_ref, cur_ref, nxt_ref, top_ref=None, bot_ref=None):
+            raw = to_f32(jnp.concatenate(
                 [prev_ref[0, tile_h - hb :], cur_ref[0], nxt_ref[0, :hb]],
                 axis=0,
-            )
-            if raw.dtype == jnp.uint8:
-                raw = raw.astype(jnp.int32).astype(jnp.float32)
-            else:
-                # Float inputs: ragged edge blocks carry uninitialized
-                # VMEM garbage that can be NaN/inf or huge-finite, which
-                # the band matrices' zero weights cannot neutralize once
-                # squared (0*inf = NaN — observed on real TPU, not in
-                # interpret mode). u8 garbage is always finite and small.
-                # nan_to_num alone is NOT enough: it maps inf to 3.4e38,
-                # whose square overflows right back to inf. The clip
-                # bound scales with data_range so legitimate HDR-range
-                # pixels survive; real NaN/inf INPUT pixels are poisoned
-                # back into the outputs below (the sanitize here may only
-                # remove garbage, never hide bad input).
-                raw = jnp.clip(
-                    jnp.nan_to_num(raw.astype(jnp.float32)),
-                    -clip_bound, clip_bound,
-                )
+            ))
+            if top_ref is not None:
+                # Halo-operand splice (static offsets, selected on the
+                # block index): the top halo covers virtual rows [-r, 0)
+                # — band positions [hb-r, hb) of block 0 — and the bottom
+                # halo virtual rows [h, h+r) — position pos_last of the
+                # last block (and pos_last + tile_h of the one before it
+                # when the ragged last block is thinner than the radius).
+                # The spliced positions only ever hold clamp-duplicated
+                # or garbage rows, which carry zero band-matrix weight in
+                # the clamped variant and true tap weight here.
+                top = to_f32(top_ref[0])
+                bot = to_f32(bot_ref[0])
+
+                def splice(x, part, pos):
+                    # All offsets are static, so this is a concat of
+                    # static slices (Mosaic has no dynamic_update_slice);
+                    # empty edge slices are skipped (Mosaic rejects
+                    # zero-size vectors — hb == r at radius 8/16).
+                    pieces = []
+                    if pos > 0:
+                        pieces.append(x[:pos])
+                    pieces.append(part)
+                    if pos + part.shape[0] < x.shape[0]:
+                        pieces.append(x[pos + part.shape[0] :])
+                    if len(pieces) == 1:
+                        return pieces[0]
+                    return jnp.concatenate(pieces, axis=0)
+
+                raw = jnp.where(i == 0, splice(raw, top, hb - r), raw)
+                raw = jnp.where(i == nh - 1, splice(raw, bot, pos_last), raw)
+                if nh >= 2 and last_rows < r:
+                    pos2 = pos_last + tile_h
+                    part = bot[: band - pos2] if band - pos2 < r else bot
+                    raw = jnp.where(i == nh - 2, splice(raw, part, pos2), raw)
             if lane_roll:
                 # The roll-mode hpass clamps edges itself; the band stays
                 # exactly w lanes (no vreg-boundary waste).
@@ -659,8 +740,12 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
             right = jnp.broadcast_to(raw[:, w - 1 : w], (band, right_fill))
             return jnp.concatenate([left, raw, right], axis=1)
 
-        af = band_of(ap_ref, ac_ref, an_ref)
-        bf = band_of(bp_ref, bc_ref, bn_ref)
+        if vhalo is not None:
+            af = band_of(ap_ref, ac_ref, an_ref, at_ref, ab_ref)
+            bf = band_of(bp_ref, bc_ref, bn_ref, bt_ref, bb_ref)
+        else:
+            af = band_of(ap_ref, ac_ref, an_ref)
+            bf = band_of(bp_ref, bc_ref, bn_ref)
         s = af + bf
         d = af - bf
 
@@ -831,6 +916,10 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
         return pl.BlockSpec((1, tile_h, w), index, memory_space=pltpu.VMEM)
 
     specs = [spec(-1), spec(0), spec(1)]
+    halo_specs = [
+        pl.BlockSpec((1, r, w), lambda bi, i: (bi, 0, 0),
+                     memory_space=pltpu.VMEM)
+    ] * 4
     vm_spec = pl.BlockSpec((1, tile_h, band), lambda bi, i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     hm_spec = pl.BlockSpec((128 + 2 * r, 128), lambda bi, i: (0, 0),
@@ -879,10 +968,14 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
                              memory_space=pltpu.VMEM)
             )
 
+    halo_ops = ()
+    if vhalo is not None:
+        halo_ops = tuple(vhalo)  # (a_top, a_bot, b_top, b_bot), (B, r, W)
     outs = pl.pallas_call(
         kernel,
         grid=(batch, nh),
-        in_specs=[vm_spec, hm_spec] + specs + specs,
+        in_specs=[vm_spec, hm_spec] + specs + specs
+        + (halo_specs if vhalo is not None else []),
         out_shape=tuple(out_shapes),
         out_specs=tuple(out_specs),
         compiler_params=pltpu.CompilerParams(
@@ -890,7 +983,7 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
             vmem_limit_bytes=vmem_limit,
         ),
         interpret=interpret,
-    )(vmats, hmat, a, a, a, b, b, b)
+    )(vmats, hmat, a, a, a, b, b, b, *halo_ops)
 
     if with_map:
         map_padded, tile_sums = outs
@@ -1248,9 +1341,23 @@ def ssim_parts_pallas(
     k1: float = 0.01,
     k2: float = 0.03,
     rowsum: bool = False,
+    vhalo=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Fused-kernel SSIM. a, b: (H, W) or (B, H, W), uint8 (or, with
     allow_float=True, float32 in [0, data_range]).
+
+    vhalo=(a_top, a_bot, b_top, b_bot), each (..., radius, W) with the
+    inputs' dtype, marks a/b as a row-window of a larger global image
+    whose 2*radius vertical neighbor rows are supplied separately — the
+    spatial-sharding case (parallel/spatial.py), where they arrive over
+    ICI via ppermute. The kernel splices them into its VMEM band, so the
+    caller never materializes a halo-concatenated copy of the images in
+    HBM (measured ~11% of the sharded score path). Outputs cover exactly
+    the local H rows, computed with true neighbor content (top/bottom
+    shards pass edge-replica halos to keep the reference border rule).
+    Restricted to rowsum/with_map (what the sharded layers consume);
+    images wider than the fast path fall back to an internal halo concat
+    with identical output semantics.
 
     rowsum=True swaps the per-tile partials for per-ROW sums of SSIM:
     returns ((..., H) f32 row sums, None). Built for score-only spatial
@@ -1338,10 +1445,30 @@ def ssim_parts_pallas(
             f"{a.dtype}/{b.dtype} — use allow_float=True for float32 "
             f"images or the XLA path for wider integer dtypes"
         )
+    if vhalo is not None:
+        if not (rowsum or with_map):
+            raise ValueError(
+                "vhalo serves the sharded layers' rowsum/map modes only "
+                "(per-tile partials over a halo'd window are not exposed)"
+            )
+        vhalo = tuple(jnp.asarray(x) for x in vhalo)
+        if len(vhalo) != 4 or any(
+            x.shape != a.shape[:-2] + (radius, a.shape[-1])
+            or x.dtype != a.dtype
+            for x in vhalo
+        ):
+            raise ValueError(
+                f"vhalo must be 4 arrays (a_top, a_bot, b_top, b_bot) of "
+                f"shape {a.shape[:-2] + (radius, a.shape[-1])} and dtype "
+                f"{a.dtype}; got "
+                f"{[(x.shape, str(x.dtype)) for x in vhalo]}"
+            )
     squeeze = a.ndim == 2
     if squeeze:
         a = a[None]
         b = b[None]
+        if vhalo is not None:
+            vhalo = tuple(x[None] for x in vhalo)
     batch, h, w = a.shape
     if not float_ok:
         a = a.astype(jnp.uint8)
@@ -1369,6 +1496,33 @@ def ssim_parts_pallas(
     # 32 x 4212) — the call raises the window for them instead of
     # falling back to the chunked path (measured on v5e at f32 4K b2:
     # fast path 14.0 vs chunked 7.7 Gpix/s).
+    if vhalo is not None and not fast_ok:
+        # Wide images: the chunked grid has no halo-operand mode, so fall
+        # back to the concatenated layout with the same output contract
+        # (compute the extended window, keep the local rows).
+        a_top, a_bot, b_top, b_bot = vhalo
+        a = jnp.concatenate([a_top, a, a_bot], axis=-2)
+        b = jnp.concatenate([b_top, b, b_bot], axis=-2)
+        if rowsum:
+            rows, _ = _chunked_overlap_call(
+                a, b, h + 2 * radius, w, taps, c1, c2, False, interpret,
+                TILE_H if max_tile_h is None else max_tile_h,
+                clip_bound=clip_bound, relaxed=relaxed, rowsum=True,
+            )
+            rows = rows[:, radius : radius + h]
+            if squeeze:
+                rows = rows[0]
+            return rows, None
+        _, ssim_map = _chunked_overlap_call(
+            a, b, h + 2 * radius, w, taps, c1, c2, True, interpret,
+            TILE_H if max_tile_h is None else max_tile_h,
+            clip_bound=clip_bound, relaxed=relaxed,
+        )
+        ssim_map = ssim_map[:, radius : radius + h]
+        partials = jnp.sum(ssim_map, axis=(-2, -1), keepdims=False)[..., None]
+        if squeeze:
+            return partials[0], ssim_map[0]
+        return partials, ssim_map
     if fast_ok:
         tile_h = max_tile_h if max_tile_h is not None else _pick_tile_h(
             h, w, precise=precise, float_input=float_ok, radius=radius
@@ -1376,7 +1530,7 @@ def ssim_parts_pallas(
         partials, ssim_map = _nopad_overlap_call(
             a, b, h, w, taps, c1, c2, with_map, interpret, tile_h,
             precise=precise, clip_bound=clip_bound, relaxed=relaxed,
-            rowsum=rowsum,
+            rowsum=rowsum, vhalo=vhalo,
         )
     else:
         partials, ssim_map = _chunked_overlap_call(

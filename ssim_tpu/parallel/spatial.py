@@ -35,11 +35,15 @@ from ..dispatch import Implementation, backend_platform, select_impl
 from ..windows import RADIUS
 
 
-def _exchange_halos(x: jnp.ndarray, axis: str, n_shards: int, radius: int) -> jnp.ndarray:
-    """Concatenate neighbor halo rows onto a row-sharded block.
+def _exchange_halo_rows(
+    x: jnp.ndarray, axis: str, n_shards: int, radius: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The 2*radius vertical neighbor rows of a row-sharded block, as
+    separate (top, bot) arrays of shape (..., radius, W) — the fused
+    kernel's vhalo operands (ssim_parts_pallas), which splice them in
+    VMEM so no halo-concatenated copy of the block hits HBM.
 
-    x: (..., Hs, W) local rows. Returns (..., Hs + 2*radius, W): top halo
-    from the previous shard's bottom rows, bottom halo from the next
+    top comes from the previous shard's bottom rows, bot from the next
     shard's top rows; image-edge shards replicate their own edge row
     (clamp-to-edge). Works for any dtype (u8 halos feed the fused kernel
     directly) and any leading batch dims.
@@ -57,6 +61,17 @@ def _exchange_halos(x: jnp.ndarray, axis: str, n_shards: int, radius: int) -> jn
     edge_bot = jnp.broadcast_to(x[..., -1:, :], shape)
     top_halo = jnp.where(idx == 0, edge_top, top_halo)
     bot_halo = jnp.where(idx == n_shards - 1, edge_bot, bot_halo)
+    return top_halo, bot_halo
+
+
+def _exchange_halos(x: jnp.ndarray, axis: str, n_shards: int, radius: int) -> jnp.ndarray:
+    """Concatenate neighbor halo rows onto a row-sharded block: (..., Hs, W)
+    local rows -> (..., Hs + 2*radius, W). The concatenated layout for
+    consumers without a halo-operand mode (the XLA per-shard formulation
+    and the fused backward kernel); the forward Pallas branches pass
+    _exchange_halo_rows straight to the kernel instead.
+    """
+    top_halo, bot_halo = _exchange_halo_rows(x, axis, n_shards, radius)
     return jnp.concatenate([top_halo, x, bot_halo], axis=-2)
 
 
@@ -129,29 +144,33 @@ def ssim_spatial_sharded(
         interpret = backend_platform() != "tpu"
 
         def shard_body(a_s, b_s):
-            # Halo-extend the raw u8 rows over ICI, then run the fused
-            # kernel on the extended band; its own clamp-to-edge border
-            # handling only ever triggers inside the discarded halo rows.
-            ae = _exchange_halos(a_s, axis, n_shards, radius)
-            be = _exchange_halos(b_s, axis, n_shards, radius)
+            # Exchange the raw 2r neighbor rows over ICI and hand them to
+            # the fused kernel as halo operands (vhalo): the kernel
+            # splices them in VMEM, so the local rows are consumed
+            # zero-copy — no halo-concatenated image is ever written to
+            # HBM (measured ~11% of this path). The kernel's own
+            # clamp-to-edge border rule is preserved by the edge shards'
+            # replica halos.
+            a_top, a_bot = _exchange_halo_rows(a_s, axis, n_shards, radius)
+            b_top, b_bot = _exchange_halo_rows(b_s, axis, n_shards, radius)
+            vh = (a_top, a_bot, b_top, b_bot)
             if not with_map:
                 # Score-only: the kernel's rowsum mode emits per-row sums
                 # directly — no H*W map is ever written to HBM just to be
                 # row-reduced here (the reference keeps maps tile-local
                 # too, src/ssim.cpp:659-668).
                 rows, _ = ssim_parts_pallas(
-                    ae, be, rowsum=True, data_range=data_range,
+                    a_s, b_s, rowsum=True, data_range=data_range,
                     interpret=interpret, allow_float=float_pair,
-                    radius=radius, sigma=sigma, k1=k1, k2=k2,
+                    radius=radius, sigma=sigma, k1=k1, k2=k2, vhalo=vh,
                 )
-                return rows[radius : radius + shard_h], None
+                return rows, None
             _, ssim_map = ssim_parts_pallas(
-                ae, be, with_map=True, data_range=data_range,
+                a_s, b_s, with_map=True, data_range=data_range,
                 interpret=interpret, allow_float=float_pair,
-                radius=radius, sigma=sigma, k1=k1, k2=k2,
+                radius=radius, sigma=sigma, k1=k1, k2=k2, vhalo=vh,
             )
-            valid = ssim_map[radius : radius + shard_h, :]
-            return jnp.sum(valid, axis=-1), (valid if with_map else None)
+            return jnp.sum(ssim_map, axis=-1), (ssim_map if with_map else None)
     else:
         from ..ops.ssim_xla import ssim_from_padded
 
@@ -291,18 +310,22 @@ def mean_ssim_spatial(
             check_vma=False,
         )
         def fwd_sharded(xa, xb):
-            ae = _exchange_halos(xa, axis, n_shards, radius)
-            be = _exchange_halos(xb, axis, n_shards, radius)
             if use_pallas:
-                # Score-only: rowsum mode — per-row sums straight from
-                # the kernel, no HBM map round trip (see the 2-D branch).
+                # Score-only: rowsum mode with halo operands — per-row
+                # sums straight from the kernel, no HBM map round trip
+                # and no halo-concatenated copy (see the 2-D branch).
+                a_top, a_bot = _exchange_halo_rows(xa, axis, n_shards, radius)
+                b_top, b_bot = _exchange_halo_rows(xb, axis, n_shards, radius)
                 rows, _ = ssim_parts_pallas(
-                    ae, be, rowsum=True, data_range=data_range,
+                    xa, xb, rowsum=True, data_range=data_range,
                     interpret=interpret, allow_float=fp,
                     radius=radius, sigma=sigma, k1=k1, k2=k2,
+                    vhalo=(a_top, a_bot, b_top, b_bot),
                 )
-                local = jnp.sum(rows[:, radius : radius + hs])
+                local = jnp.sum(rows)
             else:
+                ae = _exchange_halos(xa, axis, n_shards, radius)
+                be = _exchange_halos(xb, axis, n_shards, radius)
                 # ssim_from_padded consumes the r-row vertical halos as
                 # its padding (plus local horizontal edge pads), emitting
                 # exactly the hs owned rows.

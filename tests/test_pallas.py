@@ -458,3 +458,138 @@ def test_rowsum_conflicts(rng):
     with pytest.raises(ValueError, match="rowsum"):
         sp.ssim_parts_pallas(a, b, rowsum=True, precise=True,
                              interpret=True)
+
+
+def _vhalo_window(rng, h, w, r, batch=None, dtype=np.uint8):
+    """A random global image pair cut into (local window, vhalo operands,
+    halo-concatenated window) for the middle 3rd of the rows."""
+    lead = () if batch is None else (batch,)
+    A = rng.integers(0, 256, lead + (3 * h + 2 * r, w)).astype(dtype)
+    B = rng.integers(0, 256, lead + (3 * h + 2 * r, w)).astype(dtype)
+    a_loc, b_loc = A[..., h : 2 * h, :], B[..., h : 2 * h, :]
+    vh = (
+        A[..., h - r : h, :], A[..., 2 * h : 2 * h + r, :],
+        B[..., h - r : h, :], B[..., 2 * h : 2 * h + r, :],
+    )
+    ae = np.concatenate([vh[0], a_loc, vh[1]], axis=-2)
+    be = np.concatenate([vh[2], b_loc, vh[3]], axis=-2)
+    return a_loc, b_loc, vh, ae, be
+
+
+@pytest.mark.parametrize("h,w,r,tile_h,batch", [
+    (64, 256, 5, None, None),   # plain geometry
+    (66, 200, 5, 32, None),     # ragged last block thinner than radius:
+                                # the second-to-last block splices too
+    (68, 256, 5, 32, None),     # ...with a TRUNCATED bottom part
+                                # (last_rows > hb - r)
+    (33, 128, 16, None, None),  # radius == hb (empty top edge slice)
+    (40, 131, 3, None, 2),      # non-128-multiple lanes, batched
+])
+def test_vhalo_matches_concat_window(rng, h, w, r, tile_h, batch):
+    """vhalo halo operands (round 4, for spatial sharding): a row-window
+    computed with spliced neighbor rows must match the halo-concatenated
+    formulation (the spatial layer's old code path) on its local rows.
+    Not bitwise — the concat window's tile grid is offset by radius rows,
+    so f32 dot orders differ — but well inside the f32 accuracy tier
+    (also validated against the f64 oracle, compiled on TPU,
+    docs/RESULTS.md round 4)."""
+    import ssim_tpu.ops.ssim_pallas as sp
+
+    a_loc, b_loc, vh, ae, be = _vhalo_window(rng, h, w, r, batch)
+    kw = dict(radius=r, interpret=True)
+    if tile_h is not None:
+        kw["max_tile_h"] = tile_h
+    rows_c, _ = sp.ssim_parts_pallas(ae, be, rowsum=True, **kw)
+    want_rows = np.asarray(rows_c)[..., r : r + h]
+    rows_v, m = sp.ssim_parts_pallas(a_loc, b_loc, rowsum=True, vhalo=vh, **kw)
+    assert m is None
+    assert rows_v.shape == want_rows.shape
+    np.testing.assert_allclose(np.asarray(rows_v), want_rows, atol=3e-5 * w)
+    _, map_c = sp.ssim_parts_pallas(ae, be, with_map=True, **kw)
+    _, map_v = sp.ssim_parts_pallas(a_loc, b_loc, with_map=True, vhalo=vh, **kw)
+    assert map_v.shape == a_loc.shape
+    np.testing.assert_allclose(
+        np.asarray(map_v), np.asarray(map_c)[..., r : r + h, :], atol=8e-6
+    )
+
+
+def test_vhalo_wide_fallback(rng):
+    """Images past the fast path fall back to an internal halo concat on
+    the chunked grid with the same local-rows output contract."""
+    import ssim_tpu.ops.ssim_pallas as sp
+
+    h, w, r = 24, 600, 5
+    a_loc, b_loc, vh, ae, be = _vhalo_window(rng, h, w, r)
+    kw = dict(radius=r, interpret=True, max_tile_w=512)  # force chunked
+    rows_c, _ = sp.ssim_parts_pallas(ae, be, rowsum=True, **kw)
+    want = np.asarray(rows_c)[r : r + h]
+    rows_v, _ = sp.ssim_parts_pallas(a_loc, b_loc, rowsum=True, vhalo=vh, **kw)
+    np.testing.assert_allclose(np.asarray(rows_v), want, atol=3e-5 * w)
+    _, map_c = sp.ssim_parts_pallas(ae, be, with_map=True, **kw)
+    _, map_v = sp.ssim_parts_pallas(a_loc, b_loc, with_map=True, vhalo=vh, **kw)
+    assert map_v.shape == (h, w)
+    np.testing.assert_allclose(
+        np.asarray(map_v), np.asarray(map_c)[r : r + h, :], atol=8e-6
+    )
+
+
+def test_vhalo_edge_replica_matches_clamped(rng):
+    """Edge shards pass replicated edge rows as halos; that must equal
+    the plain clamped-border computation (the reference border rule,
+    src/ssim.cpp:560-582) — the spatial layer's true-image-border case."""
+    import ssim_tpu.ops.ssim_pallas as sp
+
+    h, w, r = 40, 256, 5
+    a = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    b = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    vh = (
+        np.broadcast_to(a[:1], (r, w)).copy(),
+        np.broadcast_to(a[-1:], (r, w)).copy(),
+        np.broadcast_to(b[:1], (r, w)).copy(),
+        np.broadcast_to(b[-1:], (r, w)).copy(),
+    )
+    _, m1 = sp.ssim_parts_pallas(a, b, with_map=True, interpret=True)
+    _, m2 = sp.ssim_parts_pallas(a, b, with_map=True, vhalo=vh,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), atol=8e-6)
+
+
+def test_vhalo_float_path(rng):
+    import jax.numpy as jnp
+
+    import ssim_tpu.ops.ssim_pallas as sp
+
+    h, w, r = 30, 200, 5
+    A = rng.random((3 * h + 2 * r, w)).astype(np.float32)
+    B = rng.random((3 * h + 2 * r, w)).astype(np.float32)
+    a_loc, b_loc = A[h : 2 * h], B[h : 2 * h]
+    vh = (A[h - r : h], A[2 * h : 2 * h + r], B[h - r : h], B[2 * h : 2 * h + r])
+    ae = np.concatenate([vh[0], a_loc, vh[1]], axis=-2)
+    be = np.concatenate([vh[2], b_loc, vh[3]], axis=-2)
+    kw = dict(allow_float=True, data_range=1.0, interpret=True)
+    rows_c, _ = sp.ssim_parts_pallas(jnp.asarray(ae), jnp.asarray(be),
+                                     rowsum=True, **kw)
+    want = np.asarray(rows_c)[r : r + h]
+    rows_v, _ = sp.ssim_parts_pallas(
+        jnp.asarray(a_loc), jnp.asarray(b_loc), rowsum=True,
+        vhalo=tuple(jnp.asarray(x) for x in vh), **kw,
+    )
+    np.testing.assert_allclose(np.asarray(rows_v), want, atol=3e-5 * w)
+
+
+def test_vhalo_validation(rng):
+    import ssim_tpu.ops.ssim_pallas as sp
+
+    a, b = random_pair(rng, 32, 64)
+    good = (a[:5], a[-5:], b[:5], b[-5:])
+    with pytest.raises(ValueError, match="vhalo"):
+        sp.ssim_parts_pallas(a, b, vhalo=good, interpret=True)  # partials
+    with pytest.raises(ValueError, match="vhalo"):
+        sp.ssim_parts_pallas(a, b, rowsum=True, vhalo=good[:3],
+                             interpret=True)
+    with pytest.raises(ValueError, match="vhalo"):
+        bad = (a[:4], a[-5:], b[:5], b[-5:])  # wrong halo depth
+        sp.ssim_parts_pallas(a, b, rowsum=True, vhalo=bad, interpret=True)
+    with pytest.raises(ValueError, match="vhalo"):
+        bad = tuple(x.astype(np.float32) for x in good)  # dtype mismatch
+        sp.ssim_parts_pallas(a, b, rowsum=True, vhalo=bad, interpret=True)
