@@ -226,7 +226,14 @@ def compute(
     Wang round(min/256) factor), or an int k >= 1: k x k box-mean +
     decimate prefilter (extension). The score and map then describe the
     pooled image (map is (H//k, W//k)); pooled pixels are float, so the
-    computation rides the float path at full kernel speed.
+    computation rides the float path at full kernel speed. With
+    precision="f64", pooling happens on device in f32 BEFORE the
+    compensated arithmetic: for box areas that are powers of two
+    (k=1,2,4,...) the division is exact and the df32 tier holds; for
+    other k (e.g. k=3, divide by 9) the pooled pixels round once at f32
+    (~2^-24 relative) before compensation — still far inside the
+    reference double build's 5e-7 tier, but not bitwise vs a host
+    f64-pooled oracle.
     radius/sigma/k1/k2 (extension; defaults = the reference contract,
     src/ssim.cpp:227-228 and :956-960): the Gaussian window's radius and
     spread and the stabilization constants, skimage/torchmetrics-style.

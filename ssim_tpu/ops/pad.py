@@ -1,6 +1,12 @@
-"""Pallas edge-pad-and-align kernel.
+"""Pallas edge-pad-and-align kernel. RETAINED FOR REFERENCE ONLY: the
+round-4 zero-copy chunked rewrite removed the last production caller
+(the SSIM kernels now consume raw images via clamped index maps, and
+wide images chunk with internal VMEM halo concats). The kernel stays
+because it is the repo's worked example of aligned DMA padding for
+layouts the SSIM fast paths don't cover, with its own test coverage
+(tests/test_pad.py).
 
-The fused SSIM kernel consumes images padded with clamp-to-edge
+The fused SSIM kernel used to consume images padded with clamp-to-edge
 replication (reference border rule, src/ssim.cpp:515-583) and aligned to
 tile geometry. XLA's u8 `jnp.pad(mode="edge")` measured ~24 GB/s on v5e
 (relayout-heavy lowering) and cost ~25% of SSIM end-to-end time; this

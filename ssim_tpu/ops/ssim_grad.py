@@ -84,6 +84,16 @@ from .ssim_pallas import (
     hpass_tap_matrix,
 )
 
+import os as _os
+
+#: Unit-balance measurement knob (tools/sweep.py): push the heavy
+#: stage-1 (ss/dd) or stage-2 (tss/tdd) horizontal passes back to the
+#: VPU. Default "" keeps both on the MXU (measured best; see
+#: docs/RESULTS.md "Backward kernel ceiling"). Read at IMPORT time like
+#: the forward's _LANE_MODE — a trace-time read would silently ignore
+#: changes once the jit cache holds a trace for the same statics.
+_split = _os.environ.get("SSIM_TPU_GRAD_SPLIT", "")
+
 #: Max image width of ONE fused-backward kernel call (VMEM-bound: ~12
 #: live f32 (rows x w) arrays, under the raised 100 MiB scoped window —
 #: see the CompilerParams note). Measured on v5e: 7680 (8K) compiles and
@@ -133,6 +143,61 @@ def _fwd_mid_band_matrices(tile_h: int, taps: np.ndarray, h: int,
                 k = src - base
                 if 0 <= k < band:
                     v[i, m, k] += taps[d]
+    return v
+
+
+def _fwd_mid_band_matrices_vhalo(tile_h: int, taps: np.ndarray, h: int,
+                                 nh: int) -> np.ndarray:
+    """Stage-1 matrices for the halo-operand (vhalo) backward: the local
+    (H, W) block is a row window of a larger global image and the
+    2*radius neighbor rows arrive as separate kernel operands (the
+    spatial-sharding case, parallel/spatial.py — same design as the
+    forward's halo_band_matrices). Taps are NOT folded at the local
+    edges: mid rows cover the VIRTUAL range [-r, h+r) (the loss rows
+    whose adjoint reaches owned rows) with true tap weights over virtual
+    input rows [-2r, h+2r) — band positions where the kernel splices the
+    halo operands. Mid rows outside [-r, h+r) keep zero rows (the
+    runtime loss mask also excludes them; see _grad_call's vmask)."""
+    r = len(taps) // 2
+    hb2, mb = _grad_geometry(tile_h, r)
+    mid, band = tile_h + 2 * mb, tile_h + 2 * hb2
+    v = np.zeros((nh, mid, band), np.float32)
+    for i in range(nh):
+        base = i * tile_h - hb2
+        for m in range(mid):
+            g = i * tile_h - mb + m
+            if not -r <= g < h + r:
+                continue
+            for d in range(len(taps)):
+                src = g - r + d  # virtual row, in [-2r, h+2r)
+                k = src - base
+                if 0 <= k < band:
+                    v[i, m, k] += taps[d]
+    return v
+
+
+def _transpose_band_matrices_vhalo(tile_h: int, taps: np.ndarray, h: int,
+                                   nh: int) -> np.ndarray:
+    """Stage-2 matrices for the vhalo backward: the TRUE (unclamped)
+    adjoint of the global vertical blur, restricted to (owned output
+    rows) x (mid rows in [-r, h+r)). Entry [i, y, m] = taps[gy - g + r]
+    for |gy - g| <= r — no fold columns: the global image's clamp fold
+    (edge shards only) is applied in-kernel at the owned edge rows,
+    gated on the vmask scalars (see _grad_call)."""
+    r = len(taps) // 2
+    _, mb = _grad_geometry(tile_h, r)
+    mid = tile_h + 2 * mb
+    v = np.zeros((nh, tile_h, mid), np.float32)
+    for i in range(nh):
+        for m in range(mid):
+            g = i * tile_h - mb + m
+            if not -r <= g < h + r:
+                continue
+            for y in range(tile_h):
+                gy = i * tile_h + y
+                if gy >= h or abs(gy - g) > r:
+                    continue
+                v[i, y, m] += taps[g - gy + r]
     return v
 
 
@@ -211,15 +276,41 @@ def _make_hpassT_roll(t, r, out_w):
 
 
 def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
-               tile_h=32, relaxed=False):
+               tile_h=32, relaxed=False, vhalo=None):
+    """One fused-backward pallas_call. vhalo (sharded mode): the four
+    (B, 2r, W) neighbor-row operands (a_top, a_bot, b_top, b_bot) of a
+    row-sharded block — spliced into the input bands in VMEM exactly like
+    the forward's vhalo mode, so the spatial layer never materializes a
+    halo-concatenated copy in HBM. ws then carries per-image
+    [w_s, w_cs, is_top, is_bot]: the two flags gate (a) the runtime loss
+    mask that excludes nonexistent virtual loss rows at the TRUE image
+    edges and (b) the in-kernel vertical clamp-fold correction at the
+    owned edge rows (the adjoint of the reference border rule,
+    src/ssim.cpp:560-582, which the non-vhalo matrices carry statically).
+    """
     r = len(taps) // 2
     hb2, mb = _grad_geometry(tile_h, r)
     batch = a.shape[0]
     nh = -(-h // tile_h)
     band = tile_h + 2 * hb2
     mid = tile_h + 2 * mb
-    v1 = jnp.asarray(_fwd_mid_band_matrices(tile_h, taps, h, nh))
-    v2t = jnp.asarray(_transpose_band_matrices(tile_h, taps, h, nh))
+    if vhalo is not None:
+        v1 = jnp.asarray(_fwd_mid_band_matrices_vhalo(tile_h, taps, h, nh))
+        v2t = jnp.asarray(_transpose_band_matrices_vhalo(tile_h, taps, h, nh))
+    else:
+        v1 = jnp.asarray(_fwd_mid_band_matrices(tile_h, taps, h, nh))
+        v2t = jnp.asarray(_transpose_band_matrices(tile_h, taps, h, nh))
+    # vhalo splice geometry (static; mirrors the forward's): the top halo
+    # covers virtual rows [-2r, 0) — band positions [hb2-2r, hb2) of
+    # block 0 — and the bottom halo virtual rows [h, h+2r), landing at
+    # pos_last of the last block (and pos_last + tile_h of the previous
+    # one when the ragged last block leaves those positions in range).
+    last_rows = h - (nh - 1) * tile_h
+    pos_last = hb2 + last_rows
+    # Vertical clamp-fold coefficients (the 1-D analogue of
+    # _edge_fold_correction): cl_v[g] is the tap mass a global-edge loss
+    # row g in [0, r) folds onto the edge input row.
+    cl_v = [float(sum(taps[r + g + 1:])) for g in range(r)]
     t = [float(x) for x in taps]
     # Unit split (same as the forward's "mxu" lane mode; HIGHEST dots
     # are f32-equivalent, not bit-equal): for wide images the u/v
@@ -241,24 +332,23 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
         hp_mxu = None
     hpT = _make_hpassT_roll(t, r, w)
     hmat = jnp.asarray(hpass_tap_matrix(taps))
-    # Unit-balance measurement knob (tools/sweep.py): push the heavy
-    # stage-1 (ss/dd) or stage-2 (tss/tdd) horizontal passes back to the
-    # VPU. Default "" keeps both on the MXU (measured best; see
-    # docs/RESULTS.md "Backward kernel ceiling").
-    import os as _os
-
-    _split = _os.environ.get("SSIM_TPU_GRAD_SPLIT", "")
-
     with_g = gmap is not None
 
     def kernel(wref, v1_ref, v2t_ref, hm_ref, *refs):
-        if with_g:
+        at_ref = ab_ref = bt_ref = bb_ref = None
+        if vhalo is not None:
+            (ap, ac, an, bp, bc, bn, at_ref, ab_ref, bt_ref, bb_ref,
+             da_ref, db_ref) = refs
+        elif with_g:
             (ap, ac, an, bp, bc, bn, gp, gc, gn, da_ref, db_ref) = refs
         else:
             (ap, ac, an, bp, bc, bn, da_ref, db_ref) = refs
         i = pl.program_id(1)
         w_s = wref[0, 0, 0]
         w_cs = wref[0, 0, 1]
+        if vhalo is not None:
+            is_top = wref[0, 0, 2]
+            is_bot = wref[0, 0, 3]
         m1 = v1_ref[0]
         m2t = v2t_ref[0]
         if use_mxu:
@@ -279,7 +369,7 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
             hp_heavy = hp
             hpT_heavy = hpT
 
-        def band_of(prev_ref, cur_ref, nxt_ref):
+        def band_of(prev_ref, cur_ref, nxt_ref, top_ref=None, bot_ref=None):
             raw = jnp.concatenate(
                 [prev_ref[0, tile_h - hb2 :], cur_ref[0], nxt_ref[0, :hb2]],
                 axis=0,
@@ -291,6 +381,63 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
             raw = jnp.clip(
                 jnp.nan_to_num(raw.astype(jnp.float32)), -clip_bound, clip_bound
             )
+            if top_ref is not None:
+                # Halo-operand splice (static offsets, selected on the
+                # block index — same construction as the forward's
+                # band_of): replaced positions otherwise hold clamped
+                # prev/next or ragged garbage, which carry zero weight in
+                # the vhalo matrices and true tap weight after splicing.
+                top = jnp.clip(
+                    jnp.nan_to_num(top_ref[0].astype(jnp.float32)),
+                    -clip_bound, clip_bound,
+                )
+                bot = jnp.clip(
+                    jnp.nan_to_num(bot_ref[0].astype(jnp.float32)),
+                    -clip_bound, clip_bound,
+                )
+
+                # At the true image edges the operands may be RAW
+                # collective outputs (ring-wrapped garbage); substitute
+                # clamp replicas of the local edge rows in VMEM, gated
+                # on the vmask flags — same design as the forward
+                # kernel's vmask mode (two ppermutes and nothing else
+                # host-side; tools/probe_spatial.py for the honest
+                # measurement story). Pre-built replica operands pass
+                # through unchanged (idempotent).
+                def rep(src):
+                    return jnp.broadcast_to(
+                        raw[src : src + 1], (2 * r,) + raw.shape[1:]
+                    )
+
+                top = jnp.where(is_top > 0, rep(hb2), top)
+                bot1 = jnp.where(
+                    is_bot > 0, rep(hb2 + last_rows - 1), bot
+                )
+                bot2 = jnp.where(
+                    is_bot > 0,
+                    rep(min(hb2 + tile_h + last_rows - 1, band - 1)),
+                    bot,
+                )
+
+                def splice(x, part, pos):
+                    pieces = []
+                    if pos > 0:
+                        pieces.append(x[:pos])
+                    pieces.append(part)
+                    if pos + part.shape[0] < x.shape[0]:
+                        pieces.append(x[pos + part.shape[0] :])
+                    if len(pieces) == 1:
+                        return pieces[0]
+                    return jnp.concatenate(pieces, axis=0)
+
+                raw = jnp.where(i == 0, splice(raw, top, hb2 - 2 * r), raw)
+                raw = jnp.where(i == nh - 1, splice(raw, bot1, pos_last), raw)
+                if nh >= 2 and pos_last + tile_h < band:
+                    pos2 = pos_last + tile_h
+                    part = (
+                        bot2[: band - pos2] if band - pos2 < 2 * r else bot2
+                    )
+                    raw = jnp.where(i == nh - 2, splice(raw, part, pos2), raw)
             if not use_mxu:
                 return raw
             # Concat-style lane halo for the aligned-slice MXU passes
@@ -300,11 +447,30 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
             right = jnp.broadcast_to(raw[:, w - 1 : w], (band, bw - w - r))
             return jnp.concatenate([left, raw, right], axis=1)
 
-        af = band_of(ap, ac, an)
-        bf = band_of(bp, bc, bn)
+        if vhalo is not None:
+            af = band_of(ap, ac, an, at_ref, ab_ref)
+            bf = band_of(bp, bc, bn, bt_ref, bb_ref)
+        else:
+            af = band_of(ap, ac, an)
+            bf = band_of(bp, bc, bn)
         s_band = af + bf
         d_band = af - bf
-        if with_g:
+        if vhalo is not None:
+            # Runtime loss mask over the mid rows: virtual loss rows span
+            # [-r, h+r) (neighbor rows within reach of owned rows), but at
+            # the TRUE image top/bottom those rows do not exist — the
+            # is_top/is_bot flags exclude them. Masking coeff_s AND w_cs
+            # zeroes all four weight maps at invalid rows.
+            gv = (
+                jax.lax.broadcasted_iota(jnp.int32, (mid, 1), 0)
+                + i * tile_h - mb
+            )
+            valid = ((gv >= -r) & (gv < h + r)).astype(jnp.float32)
+            valid = valid * jnp.where(gv < 0, 1.0 - is_top, 1.0)
+            valid = valid * jnp.where(gv >= h, 1.0 - is_bot, 1.0)
+            coeff_s = w_s * valid
+            w_cs = w_cs * valid
+        elif with_g:
             # Per-pixel S cotangent at the mid rows. No blur touches g
             # itself, so no lane halo; out-of-image rows (ragged-block
             # garbage AND the wrong-content clamp rows at i=0 / i=nh-1)
@@ -389,10 +555,51 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
         # Stage 2: adjoint blur (transposed band matmul + transposed
         # roll hpass) back to the tile's own rows.
         hpT2 = hpT if (_split == "vpu2" and use_mxu) else hpT_heavy
-        tu = hpT(vpass(m2t, w_u))
-        tv = hpT(vpass(m2t, w_v))
-        tss = hpT2(vpass(m2t, w_ss))
-        tdd = hpT2(vpass(m2t, w_dd))
+        if vhalo is not None:
+            # Vertical clamp-fold at the true image edges: loss rows
+            # g in [0, r) read clamp-replicated rows below row 0 (the
+            # edge shards' halo operands ARE those replicas, so stage 1
+            # is already the clamped blur); their adjoint folds cl_v[g]
+            # extra tap mass onto the edge input row. The non-vhalo
+            # matrices carry this fold in their construction; here it is
+            # applied at runtime, gated on is_top/is_bot and the block
+            # index, BETWEEN the vertical and horizontal adjoints (the
+            # separable transpose is Gh^T . Gv^T — the fold mass rides
+            # through the lane pass like every other vertical output).
+            # Derivation: folding the replica halo rows' gradients onto
+            # the edge row — the spatial layer's old host-side `fold` —
+            # commutes with the pointwise s/d combination because
+            # replica rows share the edge row's s/d values.
+            rid1 = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_u.shape[-1]), 0)
+            gate_t = jnp.where(i == 0, is_top, 0.0)
+            gate_b = jnp.where(i == nh - 1, is_bot, 0.0)
+            y_bot = last_rows - 1
+
+            def vadj(m2t_, w_map):
+                vt = vpass(m2t_, w_map)
+                corr_t = sum(
+                    cl_v[g] * w_map[mb + g : mb + g + 1] for g in range(r)
+                )
+                corr_b = sum(
+                    cl_v[x]
+                    * w_map[mb + last_rows - 1 - x : mb + last_rows - x]
+                    for x in range(r)
+                )
+                return (
+                    vt
+                    + jnp.where(rid1 == 0, gate_t * corr_t, 0.0)
+                    + jnp.where(rid1 == y_bot, gate_b * corr_b, 0.0)
+                )
+
+            tu = hpT(vadj(m2t, w_u))
+            tv = hpT(vadj(m2t, w_v))
+            tss = hpT2(vadj(m2t, w_ss))
+            tdd = hpT2(vadj(m2t, w_dd))
+        else:
+            tu = hpT(vpass(m2t, w_u))
+            tv = hpT(vpass(m2t, w_v))
+            tss = hpT2(vpass(m2t, w_ss))
+            tdd = hpT2(vpass(m2t, w_dd))
 
         s_out = s_band[hb2 : hb2 + tile_h]
         d_out = d_band[hb2 : hb2 + tile_h]
@@ -410,6 +617,20 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
             rid = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 0)
             src = jnp.where(rid < h - i * tile_h, src, 0.0)
         pois = jnp.sum(src) * 0.0
+        if vhalo is not None:
+            # NaN/inf in the neighbor halo rows must surface in the
+            # blocks that spliced them (same granularity as the concat
+            # formulation's per-tile poison).
+            hsum_t = jnp.sum(at_ref[0].astype(jnp.float32)) + jnp.sum(
+                bt_ref[0].astype(jnp.float32)
+            )
+            hsum_b = jnp.sum(ab_ref[0].astype(jnp.float32)) + jnp.sum(
+                bb_ref[0].astype(jnp.float32)
+            )
+            pois = pois + (
+                jnp.where(i == 0, hsum_t, 0.0)
+                + jnp.where(i >= nh - 2, hsum_b, 0.0)
+            ) * 0.0
         da_ref[0] = da + pois
         db_ref[0] = db + pois
 
@@ -423,7 +644,7 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
         return pl.BlockSpec((1, tile_h, w), index, memory_space=pltpu.VMEM)
 
     specs = [spec(-1), spec(0), spec(1)]
-    w_spec = pl.BlockSpec((1, 1, 2), lambda bi, i: (bi, 0, 0),
+    w_spec = pl.BlockSpec((1, 1, ws.shape[-1]), lambda bi, i: (bi, 0, 0),
                           memory_space=pltpu.SMEM)
     v1_spec = pl.BlockSpec((1, mid, band), lambda bi, i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -436,10 +657,18 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
     out_shape = jax.ShapeDtypeStruct((batch, nh * tile_h, w), jnp.float32)
 
     in_specs = [w_spec, v1_spec, v2t_spec, hm_spec] + specs + specs
-    operands = [ws.reshape(batch, 1, 2), v1, v2t, hmat, a, a, a, b, b, b]
+    operands = [ws.reshape(batch, 1, ws.shape[-1]), v1, v2t, hmat,
+                a, a, a, b, b, b]
     if with_g:
         in_specs = in_specs + specs
         operands = operands + [gmap, gmap, gmap]
+    if vhalo is not None:
+        r2 = vhalo[0].shape[-2]
+        in_specs = in_specs + [
+            pl.BlockSpec((1, r2, w), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 4
+        operands = operands + list(vhalo)
     da, db = pl.pallas_call(
         kernel,
         grid=(batch, nh),
@@ -486,6 +715,8 @@ def ssim_grad_pallas(
     sigma: float = SIGMA,
     k1: float = 0.01,
     k2: float = 0.03,
+    vhalo=None,
+    vmask=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused-kernel SSIM gradients: (dL/da, dL/db) for
     L = sum_p (w_s + g_map(p)) * SSIM(p) + w_cs * sum_p cs(p), per image.
@@ -503,6 +734,20 @@ def ssim_grad_pallas(
     all eight vertical band matmuls; per-blur error ~2^-17 relative.
     radius/sigma/k1/k2: the custom-window extension (trace-time taps,
     band matrices, and halo geometry; radius <= MAX_FUSED_RADIUS).
+    vhalo/vmask (the sharded-training mode, parallel/spatial.py): a, b
+    are one row-shard of a taller image, vhalo = (a_top, a_bot, b_top,
+    b_bot) supplies the 2*radius neighbor rows each side as separate
+    kernel operands (spliced in VMEM — no halo-concatenated HBM copy,
+    matching the forward's vhalo mode), and vmask = (is_top, is_bot)
+    flags (traced 0/1 scalars) mark the true image edges: there the
+    operands must be clamp replicas of the edge row, nonexistent
+    virtual loss rows are masked out in-kernel, and the vertical
+    clamp-fold adjoint lands on the owned edge rows. Returns gradients
+    for the OWNED rows only. L is then w_s * sum over the owned rows'
+    loss terms PLUS the neighbor-row terms within radius (each shard
+    computes its neighbors' contributions to its own rows; summed over
+    shards this is exactly the global loss). Scalar cotangents only
+    (g_map=None).
     """
     if a.dtype != jnp.float32 or b.dtype != jnp.float32:
         raise ValueError(
@@ -515,23 +760,50 @@ def ssim_grad_pallas(
         b = b[None]
         if g_map is not None:
             g_map = g_map[None]
+        if vhalo is not None:
+            vhalo = tuple(x[None] for x in vhalo)
     if g_map is not None and g_map.shape != a.shape:
         raise ValueError(
             f"g_map shape {g_map.shape} must match images {a.shape}"
         )
     batch, h, w = a.shape
+    if vhalo is not None:
+        if g_map is not None:
+            raise ValueError(
+                "vhalo mode takes scalar cotangents only (g_map=None): "
+                "per-pixel cotangents for virtual loss rows would need "
+                "their own halo exchange"
+            )
+        if vmask is None:
+            raise ValueError("vhalo requires vmask=(is_top, is_bot)")
+        vhalo = tuple(jnp.asarray(x, jnp.float32) for x in vhalo)
+        want = (batch, 2 * radius, w)
+        if len(vhalo) != 4 or any(x.shape != want for x in vhalo):
+            raise ValueError(
+                f"vhalo must be 4 float arrays (a_top, a_bot, b_top, "
+                f"b_bot) of shape {want}, got "
+                f"{[tuple(x.shape) for x in vhalo]}"
+            )
+        if h < 2 * radius:
+            raise ValueError(
+                f"vhalo shards must be >= 2*radius = {2 * radius} rows "
+                f"tall, got {h}"
+            )
     if not grad_pallas_supported(h, w, radius):
         raise ValueError(
             f"ssim_grad_pallas needs w > radius, h >= 1, and radius in "
             f"1..{MAX_FUSED_RADIUS}; got {h}x{w} at radius {radius}"
         )
-    ws = jnp.stack(
-        [
-            jnp.broadcast_to(jnp.asarray(w_s, jnp.float32), (batch,)),
-            jnp.broadcast_to(jnp.asarray(w_cs, jnp.float32), (batch,)),
-        ],
-        axis=-1,
-    )
+    cols = [
+        jnp.broadcast_to(jnp.asarray(w_s, jnp.float32), (batch,)),
+        jnp.broadcast_to(jnp.asarray(w_cs, jnp.float32), (batch,)),
+    ]
+    if vhalo is not None:
+        cols += [
+            jnp.broadcast_to(jnp.asarray(x, jnp.float32), (batch,))
+            for x in vmask
+        ]
+    ws = jnp.stack(cols, axis=-1)
     # radius/sigma/k1/k2 generalize the window and stabilization constants
     # (matching the forward extension): tap VALUES flow into the
     # trace-time band matrices and the c1/c2 scalars, and the halo
@@ -571,7 +843,7 @@ def ssim_grad_pallas(
     if w <= GRAD_MAX_W:
         da, db = _grad_call(a, b, ws, h, w, taps, c1, c2, interpret,
                             clip_bound, gmap=g_map, tile_h=tile_h,
-                            relaxed=relaxed)
+                            relaxed=relaxed, vhalo=vhalo)
     else:
         # Column-chunked wide path: overlapping windows of chunk_w owned
         # columns + 2*radius halo columns each side (window <=
@@ -595,10 +867,15 @@ def ssim_grad_pallas(
             lo = max(0, start - r2)
             hi = min(w, end + r2)
             gm = None if g_map is None else g_map[..., lo:hi]
+            vh = (
+                None
+                if vhalo is None
+                else tuple(x[..., lo:hi] for x in vhalo)
+            )
             da_c, db_c = _grad_call(
                 a[..., lo:hi], b[..., lo:hi], ws, h, hi - lo, taps, c1, c2,
                 interpret, clip_bound, gmap=gm, tile_h=tile_h,
-                relaxed=relaxed,
+                relaxed=relaxed, vhalo=vh,
             )
             das.append(da_c[..., start - lo : end - lo])
             dbs.append(db_c[..., start - lo : end - lo])

@@ -35,8 +35,9 @@ sum_tile) and all of its per-ISA SIMD backends. TPU-first design:
   (a+b)^2, (a-b)^2) instead of the reference's five; see the kernel body
   for the linearity identity.
 - Images wider than one tile use _chunked_overlap_call: the same design
-  generalized to lane chunks over an aligned padded layout produced by
-  the DMA pad kernel (ops/pad.py).
+  generalized to lane chunks consumed zero-copy (clamped index maps +
+  an internal halo concat per chunk — the round-4 rewrite retired the
+  DMA pad kernel; ops/pad.py is retained for reference only).
 - Measured on v5e (round 3, mxu lane mode): ~12.6-13.9 Gpix/s at
   1080p-8K with or without map (54-60x the reference's best
   full-machine CPU number; the RPC-attached chip adds ~±3% run-to-run
@@ -585,7 +586,7 @@ def halo_band_matrices(tile_h: int, band: int, taps: np.ndarray,
 def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h,
                         precise=False, components=False, clip_bound=131072.0,
                         colsum=False, relaxed=False, pool_out=False,
-                        rowsum=False, vhalo=None):
+                        rowsum=False, vhalo=None, vmask=None):
     """Zero-copy fast path: the RAW (B, H, W) images are consumed directly
     by the kernel — no padding pass at all. Each instance reads three
     row blocks per image (prev/cur/next via clamped index maps; ragged
@@ -653,9 +654,14 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
 
     def kernel(vm_ref, hm_ref, ap_ref, ac_ref, an_ref, bp_ref, bc_ref, bn_ref,
                *rest):
+        fl_ref = None
         if vhalo is not None:
             at_ref, ab_ref, bt_ref, bb_ref = rest[:4]
-            out_refs = rest[4:]
+            rest = rest[4:]
+            if vmask is not None:
+                fl_ref = rest[0]
+                rest = rest[1:]
+            out_refs = rest
         else:
             out_refs = rest
         i = pl.program_id(1)
@@ -702,6 +708,42 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
                 # the clamped variant and true tap weight here.
                 top = to_f32(top_ref[0])
                 bot = to_f32(bot_ref[0])
+                bot2 = bot
+                if fl_ref is not None:
+                    # vmask mode: the operands are RAW ppermute outputs
+                    # (ring-wrapped garbage at the true image edges);
+                    # substitute clamp replicas of the local edge rows
+                    # in VMEM, gated on the is_top/is_bot flags. This
+                    # keeps the entire host-side exchange to two stacked
+                    # ppermutes with no replica construction in the XLA
+                    # graph (honest carried-perturbation measurement puts
+                    # the full sharded path at kernel parity either way —
+                    # tools/probe_spatial.py, which also documents the
+                    # fori-loop hoisting artifact that once made host-
+                    # built operands look 2.4x slower).
+                    # Replica sources are static band rows: local row 0
+                    # sits at band position hb (block 0), local row h-1
+                    # at hb + last_rows - 1 (last block) / one tile
+                    # deeper (second-to-last block's partial splice).
+                    it_f = fl_ref[0, 0]
+                    ib_f = fl_ref[0, 1]
+
+                    def rep(src, nrows):
+                        return jnp.broadcast_to(
+                            raw[src : src + 1], (nrows,) + raw.shape[1:]
+                        )
+
+                    top = jnp.where(it_f > 0, rep(hb, r), top)
+                    bot1 = jnp.where(
+                        ib_f > 0, rep(hb + last_rows - 1, r), bot
+                    )
+                    bot2 = jnp.where(
+                        ib_f > 0,
+                        rep(min(hb + tile_h + last_rows - 1, band - 1), r),
+                        bot,
+                    )
+                else:
+                    bot1 = bot
 
                 def splice(x, part, pos):
                     # All offsets are static, so this is a concat of
@@ -719,10 +761,10 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
                     return jnp.concatenate(pieces, axis=0)
 
                 raw = jnp.where(i == 0, splice(raw, top, hb - r), raw)
-                raw = jnp.where(i == nh - 1, splice(raw, bot, pos_last), raw)
+                raw = jnp.where(i == nh - 1, splice(raw, bot1, pos_last), raw)
                 if nh >= 2 and last_rows < r:
                     pos2 = pos_last + tile_h
-                    part = bot[: band - pos2] if band - pos2 < r else bot
+                    part = bot2[: band - pos2] if band - pos2 < r else bot2
                     raw = jnp.where(i == nh - 2, splice(raw, part, pos2), raw)
             if lane_roll:
                 # The roll-mode hpass clamps edges itself; the band stays
@@ -969,13 +1011,23 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
             )
 
     halo_ops = ()
+    extra_specs = []
     if vhalo is not None:
         halo_ops = tuple(vhalo)  # (a_top, a_bot, b_top, b_bot), (B, r, W)
+        extra_specs = list(halo_specs)
+        if vmask is not None:
+            flags = jnp.stack(
+                [jnp.asarray(x, jnp.float32) for x in vmask]
+            ).reshape(1, 2)
+            halo_ops = halo_ops + (flags,)
+            extra_specs.append(
+                pl.BlockSpec((1, 2), lambda bi, i: (0, 0),
+                             memory_space=pltpu.SMEM)
+            )
     outs = pl.pallas_call(
         kernel,
         grid=(batch, nh),
-        in_specs=[vm_spec, hm_spec] + specs + specs
-        + (halo_specs if vhalo is not None else []),
+        in_specs=[vm_spec, hm_spec] + specs + specs + extra_specs,
         out_shape=tuple(out_shapes),
         out_specs=tuple(out_specs),
         compiler_params=pltpu.CompilerParams(
@@ -1203,9 +1255,14 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
         if rowsum:
             # Per-row (ssim - 1) partials per lane chunk (see the fast
             # path's rowsum note); the host sums the chunk axis and adds
-            # back w per valid row.
-            sum_ref[0] = jnp.sum(mask_cols(ssim - 1.0), axis=1,
-                                 keepdims=True)
+            # back w per valid row. The chunk axis sits AHEAD of the row
+            # axis in the output so the block's trailing dims are
+            # (tile_h, 1) — equal to / divisible into the array dims, as
+            # hardware Mosaic requires (a trailing (tile_h, 1) block over
+            # an (..., nh*tile_h, nc) array compiles only in interpret
+            # mode; caught by tools/hw_vhalo.py on the real chip).
+            sum_ref[0, 0] = jnp.sum(mask_cols(ssim - 1.0), axis=1,
+                                    keepdims=True)
             return
 
         n_valid = (
@@ -1275,10 +1332,10 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
     if rowsum:
         n_sums = None
         out_shapes.append(
-            jax.ShapeDtypeStruct((batch, nh * tile_h, nc), jnp.float32)
+            jax.ShapeDtypeStruct((batch, nc, nh * tile_h, 1), jnp.float32)
         )
         out_specs.append(
-            pl.BlockSpec((1, tile_h, 1), lambda bi, i, c: (bi, i, c),
+            pl.BlockSpec((1, 1, tile_h, 1), lambda bi, i, c: (bi, c, i, 0),
                          memory_space=pltpu.VMEM)
         )
     else:
@@ -1311,7 +1368,7 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
         (tile_sums,) = outs
         ssim_map = None
     if rowsum:
-        rows = tile_sums.sum(axis=2)[:, :h]
+        rows = tile_sums[..., 0].sum(axis=1)[:, :h]
         return rows + jnp.float32(w), None
     return tile_sums.reshape(batch, nh * nc * n_sums), ssim_map
 
@@ -1342,6 +1399,7 @@ def ssim_parts_pallas(
     k2: float = 0.03,
     rowsum: bool = False,
     vhalo=None,
+    vmask=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Fused-kernel SSIM. a, b: (H, W) or (B, H, W), uint8 (or, with
     allow_float=True, float32 in [0, data_range]).
@@ -1353,11 +1411,21 @@ def ssim_parts_pallas(
     ICI via ppermute. The kernel splices them into its VMEM band, so the
     caller never materializes a halo-concatenated copy of the images in
     HBM (measured ~11% of the sharded score path). Outputs cover exactly
-    the local H rows, computed with true neighbor content (top/bottom
-    shards pass edge-replica halos to keep the reference border rule).
-    Restricted to rowsum/with_map (what the sharded layers consume);
-    images wider than the fast path fall back to an internal halo concat
-    with identical output semantics.
+    the local H rows, computed with true neighbor content. Restricted to
+    rowsum/with_map (what the sharded layers consume); images wider than
+    the fast path fall back to an internal halo concat with identical
+    output semantics.
+
+    vmask=(is_top, is_bot) (traced 0/1 scalars, requires vhalo): the
+    halo operands are RAW collective outputs and the kernel itself
+    substitutes clamp replicas of the local edge rows where a flag is
+    set — the reference border rule (src/ssim.cpp:560-582) without any
+    host-side replica construction. With vmask the sharded layer's
+    whole exchange is two stacked ppermutes; measured honestly
+    (carried-perturbation loops, tools/probe_spatial.py) the full
+    sharded path then runs at kernel parity. Without vmask, edge shards
+    must pass pre-built replica halos (the round-4 contract, still
+    honored for existing callers).
 
     rowsum=True swaps the per-tile partials for per-ROW sums of SSIM:
     returns ((..., H) f32 row sums, None). Built for score-only spatial
@@ -1408,8 +1476,9 @@ def ssim_parts_pallas(
     kernel sanitizes float bands (NaN input pixels become 0; values clip
     to ±131072, which only affects garbage — real pixels live in
     [0, data_range]). It stays opt-in so the default API surface keeps
-    the reference's u8 contract. Wide float images use the chunked path
-    over an f32 padded layout (the pad kernel is dtype-generic).
+    the reference's u8 contract. Wide float images ride the same
+    zero-copy chunked path as u8 (the float fast path covers one lane
+    block; beyond it the chunked grid sanitizes per chunk).
     """
     if not 1 <= radius <= MAX_FUSED_RADIUS:
         raise ValueError(
@@ -1445,6 +1514,8 @@ def ssim_parts_pallas(
             f"{a.dtype}/{b.dtype} — use allow_float=True for float32 "
             f"images or the XLA path for wider integer dtypes"
         )
+    if vmask is not None and vhalo is None:
+        raise ValueError("vmask requires vhalo (it flags the halo operands)")
     if vhalo is not None:
         if not (rowsum or with_map):
             raise ValueError(
@@ -1501,6 +1572,22 @@ def ssim_parts_pallas(
         # back to the concatenated layout with the same output contract
         # (compute the extended window, keep the local rows).
         a_top, a_bot, b_top, b_bot = vhalo
+        if vmask is not None:
+            # Raw collective halos: substitute the edge replicas here
+            # (host-side, like the pre-vmask contract — this fallback
+            # concatenates anyway, so there is nothing to win in-kernel).
+            it_f, ib_f = (jnp.asarray(x, jnp.float32) for x in vmask)
+            hs = (radius,)
+
+            def repl(x, row):
+                return jnp.broadcast_to(
+                    x[..., row : row + 1, :], x.shape[:-2] + hs + x.shape[-1:]
+                )
+
+            a_top = jnp.where(it_f > 0, repl(a, 0), a_top)
+            b_top = jnp.where(it_f > 0, repl(b, 0), b_top)
+            a_bot = jnp.where(ib_f > 0, repl(a, h - 1), a_bot)
+            b_bot = jnp.where(ib_f > 0, repl(b, h - 1), b_bot)
         a = jnp.concatenate([a_top, a, a_bot], axis=-2)
         b = jnp.concatenate([b_top, b, b_bot], axis=-2)
         if rowsum:
@@ -1530,7 +1617,7 @@ def ssim_parts_pallas(
         partials, ssim_map = _nopad_overlap_call(
             a, b, h, w, taps, c1, c2, with_map, interpret, tile_h,
             precise=precise, clip_bound=clip_bound, relaxed=relaxed,
-            rowsum=rowsum, vhalo=vhalo,
+            rowsum=rowsum, vhalo=vhalo, vmask=vmask,
         )
     else:
         partials, ssim_map = _chunked_overlap_call(

@@ -35,44 +35,114 @@ from ..dispatch import Implementation, backend_platform, select_impl
 from ..windows import RADIUS
 
 
+def _edge_replica(x: jnp.ndarray, row: int, radius: int) -> jnp.ndarray:
+    """Row `row` of x replicated `radius` times along -2 (clamp-to-edge
+    halo content for consumers without the kernels' in-kernel
+    substitution — the XLA formulation)."""
+    return jnp.take(x, jnp.full((radius,), row, jnp.int32), axis=-2)
+
+
+def _exchange_halo_rows_pair(
+    xa: jnp.ndarray, xb: jnp.ndarray, axis: str, n_shards: int, radius: int,
+    edge_replicas: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The 2*radius vertical neighbor rows of a row-sharded image PAIR,
+    as (a_top, a_bot, b_top, b_bot) of shape (..., radius, W) — the fused
+    kernel's vhalo operands (ssim_parts_pallas), which splice them in
+    VMEM so no halo-concatenated copy of the blocks hits HBM.
+
+    top comes from the previous shard's bottom rows, bot from the next
+    shard's top rows. Both images ride ONE stacked collective per
+    direction (2 ppermutes total instead of 4). Works for any dtype and
+    any leading batch dims.
+
+    edge_replicas=False (the Pallas vmask mode) returns the RAW ring
+    outputs — the image-edge shards' halos are wrapped garbage that the
+    kernel itself replaces with clamp replicas, gated on its vmask
+    flags, so the XLA graph carries no replica construction at all.
+    Honest carried-perturbation measurement (tools/probe_spatial.py,
+    which also documents the fori-loop hoisting artifact that shaped
+    this design's history) puts the full sharded path at kernel parity.
+    With edge_replicas=True the edge shards' halos are replaced here
+    (clamp-to-edge, reference src/ssim.cpp:560-582) for consumers
+    without an in-kernel substitution mode (the XLA formulation).
+    """
+    # Bottom rows travel to the next shard (become its top halo) and vice
+    # versa. ppermute with a full ring; edge results are garbage (raw
+    # mode) or overridden below.
+    down = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    up = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    send_down = jnp.stack([xa[..., -radius:, :], xb[..., -radius:, :]])
+    send_up = jnp.stack([xa[..., :radius, :], xb[..., :radius, :]])
+    tops = jax.lax.ppermute(send_down, axis, down)
+    bots = jax.lax.ppermute(send_up, axis, up)
+    if edge_replicas:
+        idx = jax.lax.axis_index(axis)
+        edge_top = jnp.stack(
+            [_edge_replica(xa, 0, radius), _edge_replica(xb, 0, radius)]
+        )
+        edge_bot = jnp.stack(
+            [_edge_replica(xa, xa.shape[-2] - 1, radius),
+             _edge_replica(xb, xb.shape[-2] - 1, radius)]
+        )
+        tops = jnp.where(idx == 0, edge_top, tops)
+        bots = jnp.where(idx == n_shards - 1, edge_bot, bots)
+    return tops[0], bots[0], tops[1], bots[1]
+
+
+def _vmask_flags(axis: str, n_shards: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(is_top, is_bot) 0/1 f32 flags for the kernels' vmask mode."""
+    idx = jax.lax.axis_index(axis)
+    return (
+        (idx == 0).astype(jnp.float32),
+        (idx == n_shards - 1).astype(jnp.float32),
+    )
+
+
 def _exchange_halo_rows(
     x: jnp.ndarray, axis: str, n_shards: int, radius: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """The 2*radius vertical neighbor rows of a row-sharded block, as
-    separate (top, bot) arrays of shape (..., radius, W) — the fused
-    kernel's vhalo operands (ssim_parts_pallas), which splice them in
-    VMEM so no halo-concatenated copy of the block hits HBM.
-
-    top comes from the previous shard's bottom rows, bot from the next
-    shard's top rows; image-edge shards replicate their own edge row
-    (clamp-to-edge). Works for any dtype (u8 halos feed the fused kernel
-    directly) and any leading batch dims.
-    """
+    """Single-array variant of _exchange_halo_rows_pair (two ppermutes
+    for ONE array; pair callers should use the stacked pair version).
+    Same gather-built edge replicas — see _edge_replica's measurement."""
     idx = jax.lax.axis_index(axis)
-    # Bottom rows travel to the next shard (become its top halo) and vice
-    # versa. ppermute with a full ring; edge results are overridden below.
     down = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     up = [(i, (i - 1) % n_shards) for i in range(n_shards)]
     top_halo = jax.lax.ppermute(x[..., -radius:, :], axis, down)
     bot_halo = jax.lax.ppermute(x[..., :radius, :], axis, up)
-    # Clamp-to-edge at the true image borders (reference src/ssim.cpp:560-582).
-    shape = x.shape[:-2] + (radius, x.shape[-1])
-    edge_top = jnp.broadcast_to(x[..., 0:1, :], shape)
-    edge_bot = jnp.broadcast_to(x[..., -1:, :], shape)
-    top_halo = jnp.where(idx == 0, edge_top, top_halo)
-    bot_halo = jnp.where(idx == n_shards - 1, edge_bot, bot_halo)
+    top_halo = jnp.where(idx == 0, _edge_replica(x, 0, radius), top_halo)
+    bot_halo = jnp.where(
+        idx == n_shards - 1,
+        _edge_replica(x, x.shape[-2] - 1, radius),
+        bot_halo,
+    )
     return top_halo, bot_halo
 
 
-def _exchange_halos(x: jnp.ndarray, axis: str, n_shards: int, radius: int) -> jnp.ndarray:
-    """Concatenate neighbor halo rows onto a row-sharded block: (..., Hs, W)
-    local rows -> (..., Hs + 2*radius, W). The concatenated layout for
-    consumers without a halo-operand mode (the XLA per-shard formulation
-    and the fused backward kernel); the forward Pallas branches pass
-    _exchange_halo_rows straight to the kernel instead.
-    """
+def _exchange_halos(
+    x: jnp.ndarray, axis: str, n_shards: int, radius: int
+) -> jnp.ndarray:
+    """Single-array concatenated-halo variant (see _exchange_halos_pair)."""
     top_halo, bot_halo = _exchange_halo_rows(x, axis, n_shards, radius)
     return jnp.concatenate([top_halo, x, bot_halo], axis=-2)
+
+
+def _exchange_halos_pair(
+    xa: jnp.ndarray, xb: jnp.ndarray, axis: str, n_shards: int, radius: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Concatenate neighbor halo rows onto a row-sharded image pair:
+    (..., Hs, W) local rows -> (..., Hs + 2*radius, W) each. The
+    concatenated layout for consumers without a halo-operand mode (the
+    XLA per-shard formulation and the fused backward kernel); the forward
+    Pallas branches pass _exchange_halo_rows_pair straight to the kernel
+    instead."""
+    a_top, a_bot, b_top, b_bot = _exchange_halo_rows_pair(
+        xa, xb, axis, n_shards, radius
+    )
+    return (
+        jnp.concatenate([a_top, xa, a_bot], axis=-2),
+        jnp.concatenate([b_top, xb, b_bot], axis=-2),
+    )
 
 
 def _pad_rows_to(x: jnp.ndarray, h_pad: int) -> jnp.ndarray:
@@ -148,12 +218,13 @@ def ssim_spatial_sharded(
             # the fused kernel as halo operands (vhalo): the kernel
             # splices them in VMEM, so the local rows are consumed
             # zero-copy — no halo-concatenated image is ever written to
-            # HBM (measured ~11% of this path). The kernel's own
-            # clamp-to-edge border rule is preserved by the edge shards'
-            # replica halos.
-            a_top, a_bot = _exchange_halo_rows(a_s, axis, n_shards, radius)
-            b_top, b_bot = _exchange_halo_rows(b_s, axis, n_shards, radius)
-            vh = (a_top, a_bot, b_top, b_bot)
+            # HBM (measured ~11% of this path). The exchange is two
+            # stacked ppermutes and nothing else; the edge shards' clamp
+            # replicas are substituted inside the kernel (vmask — see
+            # _exchange_halo_rows_pair's measured rationale).
+            vh = _exchange_halo_rows_pair(a_s, b_s, axis, n_shards, radius,
+                                          edge_replicas=False)
+            vm = _vmask_flags(axis, n_shards)
             if not with_map:
                 # Score-only: the kernel's rowsum mode emits per-row sums
                 # directly — no H*W map is ever written to HBM just to be
@@ -163,12 +234,14 @@ def ssim_spatial_sharded(
                     a_s, b_s, rowsum=True, data_range=data_range,
                     interpret=interpret, allow_float=float_pair,
                     radius=radius, sigma=sigma, k1=k1, k2=k2, vhalo=vh,
+                    vmask=vm,
                 )
                 return rows, None
             _, ssim_map = ssim_parts_pallas(
                 a_s, b_s, with_map=True, data_range=data_range,
                 interpret=interpret, allow_float=float_pair,
                 radius=radius, sigma=sigma, k1=k1, k2=k2, vhalo=vh,
+                vmask=vm,
             )
             return jnp.sum(ssim_map, axis=-1), (ssim_map if with_map else None)
     else:
@@ -178,8 +251,7 @@ def ssim_spatial_sharded(
             af = a_s.astype(jnp.float32)
             bf = b_s.astype(jnp.float32)
             # Vertical halos over ICI; horizontal borders are local edge pads.
-            ap = _exchange_halos(af, axis, n_shards, radius)
-            bp = _exchange_halos(bf, axis, n_shards, radius)
+            ap, bp = _exchange_halos_pair(af, bf, axis, n_shards, radius)
             ap = jnp.pad(ap, ((0, 0), (radius, radius)), mode="edge")
             bp = jnp.pad(bp, ((0, 0), (radius, radius)), mode="edge")
             return ssim_from_padded(
@@ -314,18 +386,17 @@ def mean_ssim_spatial(
                 # Score-only: rowsum mode with halo operands — per-row
                 # sums straight from the kernel, no HBM map round trip
                 # and no halo-concatenated copy (see the 2-D branch).
-                a_top, a_bot = _exchange_halo_rows(xa, axis, n_shards, radius)
-                b_top, b_bot = _exchange_halo_rows(xb, axis, n_shards, radius)
+                vh = _exchange_halo_rows_pair(xa, xb, axis, n_shards,
+                                              radius, edge_replicas=False)
                 rows, _ = ssim_parts_pallas(
                     xa, xb, rowsum=True, data_range=data_range,
                     interpret=interpret, allow_float=fp,
-                    radius=radius, sigma=sigma, k1=k1, k2=k2,
-                    vhalo=(a_top, a_bot, b_top, b_bot),
+                    radius=radius, sigma=sigma, k1=k1, k2=k2, vhalo=vh,
+                    vmask=_vmask_flags(axis, n_shards),
                 )
                 local = jnp.sum(rows)
             else:
-                ae = _exchange_halos(xa, axis, n_shards, radius)
-                be = _exchange_halos(xb, axis, n_shards, radius)
+                ae, be = _exchange_halos_pair(xa, xb, axis, n_shards, radius)
                 # ssim_from_padded consumes the r-row vertical halos as
                 # its padding (plus local horizontal edge pads), emitting
                 # exactly the hs owned rows.
@@ -484,29 +555,20 @@ def ssim_grad_spatial_sharded(
         check_vma=False,  # pallas_call outputs carry no vma metadata
     )
     def shard_fn(a_s, b_s):
-        idx = jax.lax.axis_index(axis)
-        ae = _exchange_halos(a_s, axis, n_shards, m)
-        be = _exchange_halos(b_s, axis, n_shards, m)
-        # Per-pixel S cotangent: w_s on true image rows, 0 on the
-        # edge shards' replica halo rows (their loss terms don't exist).
-        gid = idx * hs - m + jnp.arange(hs + 2 * m)
-        mask = ((gid >= 0) & (gid < h)).astype(jnp.float32)
-        gmap = jnp.broadcast_to((mask * w_arr)[:, None], ae.shape)
-        da, db = ssim_grad_pallas(
-            ae, be, 0.0, 0.0, gmap, data_range=data_range,
+        # The 2r neighbor rows ride as kernel halo operands (vhalo), the
+        # same zero-copy design as the forward: no halo-concatenated
+        # (Hs+4r, W) copies in HBM, one stacked ppermute per direction
+        # and nothing else host-side. The kernel handles what the old
+        # concat formulation did here: the nonexistent-loss-row mask,
+        # the edge shards' clamp replicas, and the replica-row gradient
+        # fold all move in-kernel, gated on the vmask flags
+        # (ops/ssim_grad.py vhalo mode).
+        vh = _exchange_halo_rows_pair(a_s, b_s, axis, n_shards, m,
+                                      edge_replicas=False)
+        return ssim_grad_pallas(
+            a_s, b_s, w_arr, 0.0, data_range=data_range,
             interpret=interpret, radius=radius, sigma=sigma, k1=k1, k2=k2,
+            vhalo=vh, vmask=_vmask_flags(axis, n_shards),
         )
-
-        def fold(g):
-            own = g[..., m : m + hs, :]
-            top = jnp.where(
-                idx == 0, jnp.sum(g[..., :m, :], axis=-2), 0.0
-            )
-            bot = jnp.where(
-                idx == n_shards - 1, jnp.sum(g[..., m + hs :, :], axis=-2), 0.0
-            )
-            return own.at[..., 0, :].add(top).at[..., hs - 1, :].add(bot)
-
-        return fold(da), fold(db)
 
     return shard_fn(a, b)

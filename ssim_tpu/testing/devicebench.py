@@ -70,6 +70,23 @@ def make_runner(impl: str, with_map: bool, precise: bool = False,
                 a, b, with_map=with_map, interpret=interpret, precise=precise,
                 relaxed=relaxed, **kw,
             )
+    elif impl == "spatial":
+        # The sharded score path (mean_ssim_spatial) over however many
+        # devices are attached (1 on the bench chip: halo ppermutes
+        # degenerate to self-sends, the vhalo/vmask kernel still runs).
+        # MUST use this harness's carried perturbation: plain
+        # loop-invariant fori_loop benchmarks of this path gave
+        # contradictory 8-22 Gpix/s readings from hoisting asymmetries
+        # (tools/probe_spatial.py documents the artifact; honest answer:
+        # kernel parity).
+        from jax.sharding import Mesh
+
+        from ..parallel import mean_ssim_spatial
+
+        mesh = Mesh(np.array(jax.devices()), ("space",))
+
+        def parts(a, b):
+            return mean_ssim_spatial(a, b, mesh, **kw), None
     elif impl == "pallas":
         from ..ops.ssim_pallas import ssim_parts_pallas
 

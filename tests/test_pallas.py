@@ -490,9 +490,11 @@ def test_vhalo_matches_concat_window(rng, h, w, r, tile_h, batch):
     computed with spliced neighbor rows must match the halo-concatenated
     formulation (the spatial layer's old code path) on its local rows.
     Not bitwise — the concat window's tile grid is offset by radius rows,
-    so f32 dot orders differ — but well inside the f32 accuracy tier
-    (also validated against the f64 oracle, compiled on TPU,
-    docs/RESULTS.md round 4)."""
+    so f32 dot orders differ — but well inside the f32 accuracy tier.
+    This file runs interpret-mode; the compiled-on-TPU validation of the
+    same geometries against the f64 oracle is tools/hw_vhalo.py
+    (docs/RESULTS.md "vhalo on hardware", round 5 — which caught a
+    chunked-rowsum BlockSpec that only interpret mode accepted)."""
     import ssim_tpu.ops.ssim_pallas as sp
 
     a_loc, b_loc, vh, ae, be = _vhalo_window(rng, h, w, r, batch)
@@ -552,6 +554,82 @@ def test_vhalo_edge_replica_matches_clamped(rng):
     _, m2 = sp.ssim_parts_pallas(a, b, with_map=True, vhalo=vh,
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), atol=8e-6)
+
+
+def test_vhalo_vmask_in_kernel_replicas(rng):
+    """vmask mode (round 5): the halo operands are RAW collective
+    outputs and the KERNEL substitutes the edge replicas, gated on the
+    (is_top, is_bot) flags — so the spatial layer's exchange is two
+    stacked ppermutes with no host-side replica construction (measured
+    2.4x end-to-end, tools/probe_spatial3.py). Garbage halos + both
+    flags set must reproduce the plain clamped computation exactly;
+    an interior window with true halos + zero flags must match the
+    concat window."""
+    import ssim_tpu.ops.ssim_pallas as sp
+
+    h, w, r = 40, 256, 5
+    a = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    b = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    g = lambda: rng.integers(0, 256, (r, w)).astype(np.uint8)
+    _, m1 = sp.ssim_parts_pallas(a, b, with_map=True, interpret=True)
+    _, m2 = sp.ssim_parts_pallas(
+        a, b, with_map=True, vhalo=(g(), g(), g(), g()), vmask=(1.0, 1.0),
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), atol=8e-6)
+
+    a_loc, b_loc, vh, ae, be = _vhalo_window(rng, 66, 200, r, None)
+    kw = dict(interpret=True, max_tile_h=32)  # ragged + 2-block splice
+    rows_c, _ = sp.ssim_parts_pallas(ae, be, rowsum=True, **kw)
+    rows_v, _ = sp.ssim_parts_pallas(a_loc, b_loc, rowsum=True, vhalo=vh,
+                                     vmask=(0.0, 0.0), **kw)
+    np.testing.assert_allclose(
+        np.asarray(rows_v), np.asarray(rows_c)[r : r + 66], atol=3e-5 * 200
+    )
+
+    # Mixed: top is a true edge (garbage operand + flag), bottom is a
+    # true neighbor (real rows + no flag).
+    h2 = 70
+    A = np.asarray(ae)
+    B = np.asarray(be)
+    a2, b2 = A[:h2], B[:h2]
+    bot_a, bot_b = A[h2 : h2 + r], B[h2 : h2 + r]
+    g2 = lambda: rng.integers(0, 256, (r, a2.shape[1])).astype(np.uint8)
+    rows_w, _ = sp.ssim_parts_pallas(
+        np.concatenate([a2, bot_a]), np.concatenate([b2, bot_b]),
+        rowsum=True, interpret=True,
+    )
+    rows_m, _ = sp.ssim_parts_pallas(
+        a2, b2, rowsum=True, vhalo=(g2(), bot_a, g2(), bot_b),
+        vmask=(1.0, 0.0), interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rows_m), np.asarray(rows_w)[:h2], atol=3e-5 * 200
+    )
+
+    with pytest.raises(ValueError, match="vmask requires vhalo"):
+        sp.ssim_parts_pallas(a, b, rowsum=True, vmask=(1.0, 1.0),
+                             interpret=True)
+
+
+def test_vhalo_vmask_wide_fallback(rng):
+    """vmask on the chunked wide fallback: host-side replica
+    substitution ahead of the internal concat."""
+    import ssim_tpu.ops.ssim_pallas as sp
+
+    h, w, r = 24, 600, 5
+    a = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    b = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    g = lambda: rng.integers(0, 256, (r, w)).astype(np.uint8)
+    kw = dict(interpret=True, max_tile_w=512)  # force chunked
+    rows_c, _ = sp.ssim_parts_pallas(a, b, rowsum=True, **kw)
+    rows_v, _ = sp.ssim_parts_pallas(
+        a, b, rowsum=True, vhalo=(g(), g(), g(), g()), vmask=(1.0, 1.0),
+        **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rows_v), np.asarray(rows_c), atol=3e-5 * w
+    )
 
 
 def test_vhalo_float_path(rng):

@@ -209,6 +209,22 @@ def test_precise_downsample_stays_df32(rng):
     assert got == pytest.approx(want, abs=1e-8)
 
 
+def test_precise_downsample_non_pow2(rng):
+    """downsample=3 divides by 9 — inexact in f32, so the device-pooled
+    pixels round ONCE before the compensated arithmetic (engine.compute
+    docstring). The result is no longer df32-exact vs the host
+    f64-pooled oracle, but must stay far inside the reference double
+    build's 5e-7 tier."""
+    a, b = random_pair(rng, 66, 66)
+    from ssim_tpu.engine import box_decimate
+
+    want, _ = reference.compute_ssim(
+        box_decimate(a, 3), box_decimate(b, 3)
+    )
+    got = compute_ssim(a, b, impl="pallas", precision="f64", downsample=3)
+    assert got == pytest.approx(want, abs=3e-7)
+
+
 def test_precise_custom_sigma_stays_df32(rng):
     """precision='f64' with custom sigma/k1/k2 keeps the compensated
     kernel path (u8 + radius 5) and lands inside the df32 error tier."""
