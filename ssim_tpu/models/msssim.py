@@ -129,11 +129,13 @@ def _ms_pallas_forward(a, b, data_range, weights, interpret, diff=False,
                 data_range, interpret, relaxed, sigma, k1, k2
             )(x_a, x_b) / n
         elif lvl < levels - 1 and pooled_components_ok(x_a.shape, x_a.dtype):
-            # u8 scale: one launch returns the sums AND the exact pooled
-            # next-scale inputs (the fused pool_out mode) — drops the
-            # scale-0 reduce_window pass, the biggest fixed cost of the
-            # pyramid after the kernels themselves (docs/RESULTS.md
-            # "MS-SSIM structural limit").
+            # One launch returns the sums AND the pooled next-scale
+            # inputs (the fused pool_out mode) — drops the inter-scale
+            # reduce_window pass, the biggest fixed cost of the pyramid
+            # after the kernels themselves (docs/RESULTS.md "MS-SSIM
+            # structural limit"). u8 scale 0 pools bit-exactly; the f32
+            # scales 1..3 pool via HIGHEST dots (round 5 — the
+            # inference pyramid runs with NO reduce_window at all).
             parts, pa, pb = ssim_components_pooled_pallas(
                 x_a, x_b, data_range=data_range, interpret=interpret,
                 relaxed=relaxed, sigma=sigma, k1=k1, k2=k2,

@@ -67,17 +67,17 @@ def ssim_parts_auto(
         MAX_FUSED_RADIUS,
         pack_preferred,
         ssim_parts_pallas,
-        ssim_parts_pallas_packed,
+        ssim_parts_pallas_bpacked,
     )
     from .ssim_xla import ssim_parts_xla
 
     def pack_routable(itemsize: int) -> bool:
         # One gate for u8 and float batches: the lane-packed path has no
-        # map/precise modes and an exact-f32 per-image count; the width
-        # policy (small non-128-multiples) lives in pack_preferred.
+        # map mode and an exact-f32 per-image count; the width policy
+        # lives in pack_preferred. Since round 5 the precise tier packs
+        # too (df32 colsum mode of the gutterless path).
         return (
             not with_map
-            and not precise
             and not tile_kwargs
             and a.ndim == 3
             and data_range >= 1e-6
@@ -102,12 +102,14 @@ def ssim_parts_auto(
         )
     if a.dtype == jnp.uint8 and b.dtype == jnp.uint8:
         if pack_routable(itemsize=1):
-            # Batched small images: the lane-packed path (measured on
-            # v5e: 32^2 x16384 1.28 -> 5.16, 64^2 x4096 3.10 -> 5.47
-            # Gpix/s; see PACK_MAX_W's comment for the width policy).
-            return ssim_parts_pallas_packed(
+            # Batched small images: the gutterless lane-packed path
+            # (round 5; measured on v5e: 32^2 x8192 1.3 -> 7.1, 64^2
+            # x4096 3.1 -> 6.9, 128^2 x1024 8.2 -> 9.1 Gpix/s; see
+            # PACK_MAX_W's comment for the width policy).
+            return ssim_parts_pallas_bpacked(
                 a, b, data_range=data_range, interpret=interpret,
-                relaxed=relaxed, radius=radius, sigma=sigma, k1=k1, k2=k2,
+                relaxed=relaxed, precise=precise,
+                radius=radius, sigma=sigma, k1=k1, k2=k2,
             ), None
         return ssim_parts_pallas(
             a, b, with_map=with_map, data_range=data_range,
@@ -120,9 +122,9 @@ def ssim_parts_auto(
         if pack_routable(itemsize=4):
             # Small float batches pack too; per-column NaN poisoning
             # keeps invalid-input propagation per-image.
-            return ssim_parts_pallas_packed(
+            return ssim_parts_pallas_bpacked(
                 af, bf, data_range=data_range, interpret=interpret,
-                allow_float=True, relaxed=relaxed,
+                allow_float=True, relaxed=relaxed, precise=precise,
                 radius=radius, sigma=sigma, k1=k1, k2=k2,
             ), None
         return ssim_parts_pallas(

@@ -519,9 +519,16 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
                 return _dot(m, x, jax.lax.Precision.HIGHEST)
 
         # Stage 1: forward blurs at the mid rows (recomputed in VMEM).
+        # In the relaxed tier the kernel is no longer MXU-bound (round-4
+        # ceiling note: the bound shifts to VPU pointwise algebra + roll
+        # transposes), so the mu-class horizontal passes move to the MXU
+        # loose tier too — rebalancing, measured on v5e round 5. The
+        # standard tier keeps them on the VPU (it IS MXU-bound at 98.5%
+        # of predicted SoL; adding MXU passes there measured -14%).
         hp1 = hp if (_split == "vpu1" and use_mxu) else hp_heavy
-        u = hp(vpass(m1, af))
-        v = hp(vpass(m1, bf))
+        hp_mu = hp_heavy if (relaxed and use_mxu) else hp
+        u = hp_mu(vpass(m1, af))
+        v = hp_mu(vpass(m1, bf))
         ss = hp1(vpass(m1, s_band * s_band))
         dd = hp1(vpass(m1, d_band * d_band))
 
@@ -553,8 +560,11 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
         )
 
         # Stage 2: adjoint blur (transposed band matmul + transposed
-        # roll hpass) back to the tile's own rows.
+        # roll hpass) back to the tile's own rows. Same relaxed-tier
+        # rebalancing as stage 1: tu/tv's VPU roll transposes move to
+        # the MXU adjoint (hpT_heavy exists for tss/tdd already).
         hpT2 = hpT if (_split == "vpu2" and use_mxu) else hpT_heavy
+        hpT_mu = hpT_heavy if (relaxed and use_mxu) else hpT
         if vhalo is not None:
             # Vertical clamp-fold at the true image edges: loss rows
             # g in [0, r) read clamp-replicated rows below row 0 (the
@@ -591,13 +601,13 @@ def _grad_call(a, b, ws, h, w, taps, c1, c2, interpret, clip_bound, gmap=None,
                     + jnp.where(rid1 == y_bot, gate_b * corr_b, 0.0)
                 )
 
-            tu = hpT(vadj(m2t, w_u))
-            tv = hpT(vadj(m2t, w_v))
+            tu = hpT_mu(vadj(m2t, w_u))
+            tv = hpT_mu(vadj(m2t, w_v))
             tss = hpT2(vadj(m2t, w_ss))
             tdd = hpT2(vadj(m2t, w_dd))
         else:
-            tu = hpT(vpass(m2t, w_u))
-            tv = hpT(vpass(m2t, w_v))
+            tu = hpT_mu(vpass(m2t, w_u))
+            tv = hpT_mu(vpass(m2t, w_v))
             tss = hpT2(vpass(m2t, w_ss))
             tdd = hpT2(vpass(m2t, w_dd))
 

@@ -101,6 +101,9 @@ TILE_W = 16384
 import os as _os
 
 _LANE_MODE = _os.environ.get("SSIM_TPU_LANE_MODE", "auto")
+#: Benchmarking/debug knob: disable the integer-mu bf16-split blur
+#: tricks (read at import time, like _LANE_MODE).
+_INTMU = _os.environ.get("SSIM_TPU_INTMU", "1") == "1"
 #: Benchmarking knob: in mxu/mxu3x lane mode, run the two mu horizontal
 #: blurs on the MXU as well (default: VPU, overlapping the two units).
 _MU_MXU = _os.environ.get("SSIM_TPU_MU_MXU", "0") == "1"
@@ -218,6 +221,108 @@ def _make_hpass_mxu(w: int, r: int = RADIUS, exact: bool = True,
         return out[:, :w] if nchunk * 128 != w else out
 
     return hpass
+
+def packed_chunk_matrices(w: int, p: int, taps) -> np.ndarray:
+    """Per-chunk clamp-folded tap matrices for a GUTTERLESS packed row of
+    p images, each w lanes wide (round-5 packed path). Output lane
+    u = img*w + q takes taps from its OWN image's lanes only, with the
+    reference clamp-to-edge rule (src/ssim.cpp:540-555) folded into the
+    weights — a block-diagonal horizontal blur, materialized as the MXU
+    lane mode's aligned (128+2r, 128) chunk matmuls with one matrix per
+    chunk instead of a shared one. This removes both the per-image
+    replica gutters (13.5%% of packed lanes at w=64) and the edge-pad
+    HBM pass of the round-4 packed layout, and keeps the transpose
+    granule a power of two. Band layout contract: image column 0 of the
+    row at band lane r (same as the shared-matrix mxu mode)."""
+    r = len(taps) // 2
+    total = p * w
+    nchunk = -(-total // 128)
+    sw = 128 + 2 * r
+    m = np.zeros((nchunk, sw, 128), np.float32)
+    for u in range(total):
+        c, j = divmod(u, 128)
+        img, q = divmod(u, w)
+        for d in range(-r, r + 1):
+            v = img * w + min(max(q + d, 0), w - 1)
+            m[c, r + v - 128 * c, j] += taps[d + r]
+    return m
+
+
+def _make_hpass_pchunk_int(total: int, r: int):
+    """Integer-exact fast horizontal blur for the gutterless packed row's
+    MU passes on u8 inputs (round 5): pixel values 0..255 are bf16-EXACT
+    (8 significant bits), so blurring the RAW band horizontally FIRST
+    needs only a bf16 split of the TAP MATRICES, not of the signal. A
+    3-term split h1 + h2 + h3 leaves a dropped residual ~2^-27 relative
+    (each bf16 rounding contributes 2^-9) — firmly f32-class, unlike
+    the relaxed tier's 2-term split of non-integer squared signals
+    (~2^-17) — for three DEFAULT-precision chunk matmuls instead of six
+    HIGHEST passes. The caller then applies the vertical pass (HIGHEST)
+    to the result; blur order commutes mathematically and both orders
+    are f32-class numerically (validated vs the f64 oracle,
+    docs/RESULTS.md). hm12: (3, nchunk, 128+2r, 128) bf16 stack of the
+    split matrices."""
+    nchunk = -(-total // 128)
+    sw = 128 + 2 * r
+
+    def hpass(x, hm12):
+        x1 = x.astype(jnp.bfloat16)  # exact for u8-derived bands
+        outs = []
+        for c in range(nchunk):
+            sl = jax.lax.slice_in_dim(x1, 128 * c, 128 * c + sw, axis=1)
+            acc = None
+            for k in range(3):
+                d = jax.lax.dot_general(
+                    sl, hm12[k, c], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+                acc = d if acc is None else acc + d
+            outs.append(acc)
+        out = jnp.concatenate(outs, axis=1)
+        return out[:, :total] if nchunk * 128 != total else out
+
+    return hpass
+
+
+def _make_hpass_pchunk(total: int, r: int, exact: bool = True):
+    """Horizontal blur for the gutterless packed row: per-128-lane-chunk
+    matmuls against a (nchunk, 128+2r, 128) matrix STACK (one clamp-
+    folded block-diagonal matrix per chunk, packed_chunk_matrices).
+    exact=True uses HIGHEST dots (f32-equivalent, the standard tier);
+    exact=False is the relaxed mxu3x-style 3-pass bf16 split, applied to
+    the HEAVY blurs only (the caller keeps mu blurs exact)."""
+    nchunk = -(-total // 128)
+    sw = 128 + 2 * r
+
+    def hpass(x, hm):
+        def dot(u, v, precision):
+            return jax.lax.dot_general(
+                u, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+
+        if not exact:
+            h1 = hm.astype(jnp.bfloat16)
+            h2 = (hm - h1.astype(jnp.float32)).astype(jnp.bfloat16)
+            x1 = x.astype(jnp.bfloat16)
+            x2 = (x - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+        outs = []
+        for c in range(nchunk):
+            if exact:
+                sl = jax.lax.slice_in_dim(x, 128 * c, 128 * c + sw, axis=1)
+                outs.append(dot(sl, hm[c], jax.lax.Precision.HIGHEST))
+            else:
+                s1 = jax.lax.slice_in_dim(x1, 128 * c, 128 * c + sw, axis=1)
+                s2 = jax.lax.slice_in_dim(x2, 128 * c, 128 * c + sw, axis=1)
+                d = functools.partial(dot, precision=jax.lax.Precision.DEFAULT)
+                outs.append(d(s1, h1[c]) + (d(s1, h2[c]) + d(s2, h1[c])))
+        out = jnp.concatenate(outs, axis=1)
+        return out[:, :total] if nchunk * 128 != total else out
+
+    return hpass
+
 
 #: Lane overlap of input bands beyond the tile: 2*RADIUS of true halo
 #: rounded to the 128-lane tile. Row overlap is computed per-geometry:
@@ -488,6 +593,25 @@ def _df_sum_2d(hi, lo):
     return x[0][0, 0], x[1][0, 0]
 
 
+def _df_colsum(hi, lo):
+    """Compensated pairwise reduction over ROWS only -> per-lane df32
+    pair ((w,), (w,)). The row-axis half of _df_sum_2d, used by the
+    precise packed path (colsum mode) so per-image segment sums keep
+    the summation compensation."""
+
+    def pow2_pad(x):
+        n = x.shape[0]
+        m = 1 << (n - 1).bit_length()
+        return x if m == n else jnp.pad(x, ((0, m - n), (0, 0)))
+
+    x = (pow2_pad(hi), pow2_pad(lo))
+    t = x[0].shape[0]
+    while t > 1:
+        t //= 2
+        x = _df_add((x[0][:t], x[1][:t]), (x[0][t:], x[1][t:]))
+    return x[0][0], x[1][0]
+
+
 def _df_const(v: float):
     """A Python float as a df32 constant pair."""
     hi = np.float32(v)
@@ -586,7 +710,7 @@ def halo_band_matrices(tile_h: int, band: int, taps: np.ndarray,
 def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_h,
                         precise=False, components=False, clip_bound=131072.0,
                         colsum=False, relaxed=False, pool_out=False,
-                        rowsum=False, vhalo=None, vmask=None):
+                        rowsum=False, vhalo=None, vmask=None, pchunk=None):
     """Zero-copy fast path: the RAW (B, H, W) images are consumed directly
     by the kernel — no padding pass at all. Each instance reads three
     row blocks per image (prev/cur/next via clamped index maps; ragged
@@ -600,6 +724,7 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
     hb = _halo_rows(r)
     batch = a.shape[0]
     float_mode = a.dtype == jnp.float32
+    assert pchunk is None or vhalo is None, "pchunk and vhalo are exclusive"
     tile_h = max(32, min(max_tile_h, 256) // 32 * 32)
     nh = -(-h // tile_h)
     band = tile_h + 2 * hb
@@ -609,9 +734,35 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
     # The band matrices then carry true tap weights for virtual rows
     # [-r, h+r) instead of folding clamp at the local edges.
     mats = halo_band_matrices if vhalo is not None else clamped_band_matrices
-    vmats = jnp.asarray(mats(tile_h, band, taps, h, nh, hb))
+    vmats_np = mats(tile_h, band, taps, h, nh, hb)
+    vmats = jnp.asarray(vmats_np)
+    # Integer-mu vertical passes (round 5): u8 pixel bands are bf16-EXACT
+    # (0..255, 8 significant bits), so the MU blurs' vertical band
+    # matmuls need only a 3-term bf16 split of the BAND MATRICES
+    # (residual ~2^-27 relative, f32-class — see _make_hpass_pchunk_int)
+    # — three DEFAULT passes instead of six HIGHEST. The heavy s^2/d^2
+    # vpasses keep HIGHEST (squared integers reach 18 bits; an exact
+    # signal split would pay 3x3 tap-split passes — no saving). Applies
+    # to every u8 route; float bands are not integer, and the precise
+    # tier keeps its bit-exact-f32 blur contract.
+    vm_intmu = (
+        not float_mode and not precise and _INTMU and pchunk is None
+    )
+    if vm_intmu:
+        v1 = vmats_np.astype(jnp.bfloat16)
+        vrem = vmats_np - v1.astype(np.float32)
+        v2 = vrem.astype(jnp.bfloat16)
+        v3 = (vrem - v2.astype(np.float32)).astype(jnp.bfloat16)
+        vm3 = jnp.asarray(np.stack([v1, v2, v3]))
     t = [float(v) for v in taps]
-    lane_mode = _lane_mode_for(w, precise, relaxed)
+    # pchunk (gutterless packed rows, ssim_parts_pallas_bpacked): the row
+    # is p side-by-side images of pchunk lanes each, with per-image clamp
+    # borders folded into per-chunk block-diagonal tap matrices — ALL
+    # four horizontal blurs ride the MXU (the VPU hpass cannot express
+    # per-image boundaries inside a shifted row).
+    lane_mode = "pchunk" if pchunk is not None else _lane_mode_for(
+        w, precise, relaxed
+    )
     lane_roll = lane_mode == "roll"
     # Roll and mxu keep more temporaries live (rolled/bf16-split copies
     # + edge selects); with a map output block on top, w=3840 exceeds
@@ -635,7 +786,28 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
         if (with_map and lane_mode != "concat" and w > 2048) or load > budget
         else None
     )
-    if lane_roll:
+    # Integer-mu fast path for gutterless packed u8 rows: the mu blurs
+    # run horizontal-first on the raw (bf16-exact) integer band as
+    # 2-pass DEFAULT chunk matmuls — see _make_hpass_pchunk_int.
+    pc_intmu = (
+        lane_mode == "pchunk" and not float_mode and not precise
+        and _INTMU
+    )
+    if lane_mode == "pchunk":
+        hpass = _make_hpass_pchunk(w, r, exact=True)
+        hpass_mxu = (
+            _make_hpass_pchunk(w, r, exact=False) if relaxed else hpass
+        )
+        hpass_int = _make_hpass_pchunk_int(w, r) if pc_intmu else None
+        hmat_np = packed_chunk_matrices(pchunk, w // pchunk, taps)
+        hmat = jnp.asarray(hmat_np)
+        if pc_intmu:
+            h1 = hmat_np.astype(jnp.bfloat16)
+            rem = hmat_np - h1.astype(np.float32)
+            h2 = rem.astype(jnp.bfloat16)
+            h3 = (rem - h2.astype(np.float32)).astype(jnp.bfloat16)
+            hm12 = jnp.asarray(np.stack([h1, h2, h3]))
+    elif lane_roll:
         hpass = hpass_mxu = _make_hpass_roll(t, r, w)
     elif lane_mode in ("mxu", "mxu3x"):
         # Split across units: mu-blurs on the VPU, the heavy squared-
@@ -644,7 +816,8 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
         hpass_mxu = _make_hpass_mxu(w, r, exact=lane_mode == "mxu")
     else:
         hpass = hpass_mxu = _make_hpass(t, r, w, co=r)
-    hmat = jnp.asarray(hpass_tap_matrix(taps))
+    if lane_mode != "pchunk":
+        hmat = jnp.asarray(hpass_tap_matrix(taps))
 
     # vhalo splice geometry (all static): virtual row h lands at band
     # position pos_last in the last block; the second-to-last block can
@@ -655,6 +828,14 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
     def kernel(vm_ref, hm_ref, ap_ref, ac_ref, an_ref, bp_ref, bc_ref, bn_ref,
                *rest):
         fl_ref = None
+        hm12_ref = None
+        vm3_ref = None
+        if vm_intmu:
+            vm3_ref = rest[0]
+            rest = rest[1:]
+        if pc_intmu:
+            hm12_ref = rest[0]
+            rest = rest[1:]
         if vhalo is not None:
             at_ref, ab_ref, bt_ref, bb_ref = rest[:4]
             rest = rest[4:]
@@ -666,7 +847,16 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
             out_refs = rest
         i = pl.program_id(1)
         vm = vm_ref[0]
-        if lane_mode in ("mxu", "mxu3x"):
+        hpass_pc_mu = None
+        hpass_pc_int = None
+        if lane_mode == "pchunk":
+            hm = hm_ref[...]
+            hpass_heavy = lambda x: hpass_mxu(x, hm)
+            hpass_pc_mu = lambda x: hpass(x, hm)
+            if pc_intmu:
+                hm12_v = hm12_ref[...]
+                hpass_pc_int = lambda x: hpass_int(x, hm12_v)
+        elif lane_mode in ("mxu", "mxu3x"):
             hm = hm_ref[...]
             hpass_heavy = lambda x: hpass_mxu(x, hm)
         else:
@@ -776,7 +966,7 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
             # range (the extra replica lanes' outputs are discarded).
             right_fill = (
                 (-(-w // 128) * 128 + r) - w
-                if lane_mode in ("mxu", "mxu3x") else r
+                if lane_mode in ("mxu", "mxu3x", "pchunk") else r
             )
             left = jnp.broadcast_to(raw[:, :1], (band, r))
             right = jnp.broadcast_to(raw[:, w - 1 : w], (band, right_fill))
@@ -798,14 +988,41 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-        hpass_mu = (
+        if vm3_ref is not None:
+            vm3 = vm3_ref[:, 0]  # (3, tile_h, band) bf16 split terms
+
+            def vpass_int(x):
+                # Integer-mu vertical pass: the raw u8 band is bf16-exact,
+                # so three DEFAULT passes against the 3-term bf16 split of
+                # the band matrix replace the 6-pass HIGHEST dot
+                # (residual ~2^-27 — f32-class).
+                x1 = x.astype(jnp.bfloat16)
+                acc = None
+                for k in range(3):
+                    d3 = jax.lax.dot_general(
+                        vm3[k], x1, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT,
+                    )
+                    acc = d3 if acc is None else acc + d3
+                return acc
+        else:
+            vpass_int = vpass
+
+        hpass_mu = hpass_pc_mu if hpass_pc_mu is not None else (
             hpass_heavy
             if _MU_MXU and lane_mode in ("mxu", "mxu3x")
             else hpass
         )
+        if hpass_pc_int is not None:
+            # Packed integer-mu: horizontal-first on the bf16-exact raw
+            # band (3-pass DEFAULT), vertical HIGHEST after.
+            mu_of = lambda x: vpass(hpass_pc_int(x))
+        else:
+            mu_of = lambda x: hpass_mu(vpass_int(x))
         blurs = (
-            hpass_mu(vpass(af)),
-            hpass_mu(vpass(bf)),
+            mu_of(af),
+            mu_of(bf),
             hpass_heavy(vpass(s * s)),
             hpass_heavy(vpass(d * d)),
         )
@@ -847,9 +1064,17 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
             # image slots out of one packed row. Garbage rows of the
             # ragged last tile are exactly 1.0 (zero band weights), so
             # columns need no row masking; gutter lanes carry finite
-            # junk the caller masks by slot.
+            # junk the caller masks by slot. In precise mode the column
+            # sums are compensated (df32 pairwise tree per lane) and the
+            # lo plane rides as a second output row — garbage rows are
+            # hi=1, lo=0 exactly, so they still contribute 0 to (x - 1).
             (sum_ref,) = out_refs
-            sum_ref[0, 0, 0] = jnp.sum(ssim - 1.0, axis=0)
+            if precise:
+                hi_c, lo_c = _df_colsum(ssim - 1.0, ssim_lo)
+                sum_ref[0, 0, 0] = hi_c
+                sum_ref[0, 0, 1] = lo_c
+            else:
+                sum_ref[0, 0, 0] = jnp.sum(ssim - 1.0, axis=0)
             return
 
         if rowsum:
@@ -895,6 +1120,33 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
             ph = jnp.where(hrid // 2 == hcid, 1.0, 0.0).astype(jnp.float32)
 
             def pool2(cur_ref):
+                if float_mode:
+                    # f32 scales (round 5: the pyramid's scale-1..3 pools
+                    # fuse too): arbitrary f32 values do not split into
+                    # two exact bf16 terms, so both pairings use HIGHEST
+                    # dots — f32-equivalent (~ulp of _downsample2, NOT
+                    # bitwise; the float pooled test tier is
+                    # tolerance-based). NaN input pixels propagate into
+                    # the pooled next scale, as reduce_window would.
+                    x = cur_ref[0].astype(jnp.float32)
+                    y = jax.lax.dot_general(
+                        pv, x, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    cols = []
+                    for c in range(0, 2 * w2, 128):
+                        n_in = min(128, 2 * w2 - c)
+                        seg_m = ph[:n_in, : n_in // 2]
+                        cols.append(jax.lax.dot_general(
+                            y[:, c : c + n_in], seg_m,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        ))
+                    p = (cols[0] if len(cols) == 1
+                         else jnp.concatenate(cols, axis=1))
+                    return p * 0.25
                 x = cur_ref[0].astype(jnp.int32).astype(jnp.float32)
                 y = jax.lax.dot_general(
                     pv, x, (((1,), (0,)), ((), ())),
@@ -964,8 +1216,12 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
     ] * 4
     vm_spec = pl.BlockSpec((1, tile_h, band), lambda bi, i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    hm_spec = pl.BlockSpec((128 + 2 * r, 128), lambda bi, i: (0, 0),
-                           memory_space=pltpu.VMEM)
+    if lane_mode == "pchunk":
+        hm_spec = pl.BlockSpec(hmat.shape, lambda bi, i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        hm_spec = pl.BlockSpec((128 + 2 * r, 128), lambda bi, i: (0, 0),
+                               memory_space=pltpu.VMEM)
     out_shapes = []
     out_specs = []
     if with_map:
@@ -977,9 +1233,10 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
                          memory_space=pltpu.VMEM)
         )
     if colsum:
-        out_shapes.append(jax.ShapeDtypeStruct((batch, nh, 1, w), jnp.float32))
+        kc = 2 if precise else 1
+        out_shapes.append(jax.ShapeDtypeStruct((batch, nh, kc, w), jnp.float32))
         out_specs.append(
-            pl.BlockSpec((1, 1, 1, w), lambda bi, i: (bi, i, 0, 0),
+            pl.BlockSpec((1, 1, kc, w), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM)
         )
         n_sums = None
@@ -1012,9 +1269,21 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
 
     halo_ops = ()
     extra_specs = []
+    if vm_intmu:
+        halo_ops = halo_ops + (vm3,)
+        extra_specs.append(
+            pl.BlockSpec((3, 1, tile_h, band), lambda bi, i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    if pc_intmu:
+        halo_ops = halo_ops + (hm12,)
+        extra_specs.append(
+            pl.BlockSpec(hm12.shape, lambda bi, i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
     if vhalo is not None:
-        halo_ops = tuple(vhalo)  # (a_top, a_bot, b_top, b_bot), (B, r, W)
-        extra_specs = list(halo_specs)
+        halo_ops = halo_ops + tuple(vhalo)  # (a_top, a_bot, b_top, b_bot)
+        extra_specs.extend(halo_specs)
         if vmask is not None:
             flags = jnp.stack(
                 [jnp.asarray(x, jnp.float32) for x in vmask]
@@ -1047,6 +1316,14 @@ def _nopad_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_tile_
         (tile_sums,) = outs
         ssim_map = None
     if colsum:
+        if precise:
+            # Reduce the nh tile rows with df32 adds (plain f32 adds here
+            # would spend the compensation the kernel just preserved).
+            ts = tile_sums.reshape(batch, nh, 2, w)
+            acc = (ts[:, 0, 0], ts[:, 0, 1])
+            for i in range(1, nh):
+                acc = _df_add(acc, (ts[:, i, 0], ts[:, i, 1]))
+            return jnp.stack(acc, axis=1), None  # (batch, 2, w)
         return tile_sums.reshape(batch, nh, w).sum(axis=1), None
     if rowsum:
         rows = tile_sums.reshape(batch, nh * tile_h)[:, :h]
@@ -1113,7 +1390,17 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
     lw = chunk_w // 128  # lane blocks per chunk (chunk_w is 128-aligned)
     nlb = -(-w // 128)   # lane blocks in the raw array
     band = tile_h + 2 * hb
-    vmats = jnp.asarray(clamped_band_matrices(tile_h, band, taps, h, nh, hb))
+    vmats_np = clamped_band_matrices(tile_h, band, taps, h, nh, hb)
+    vmats = jnp.asarray(vmats_np)
+    # Integer-mu vertical passes for u8 (same trick as the fast path:
+    # 3-term bf16 matrix split, 3 DEFAULT passes instead of 6 HIGHEST).
+    vm_intmu = not float_mode and not precise and _INTMU
+    if vm_intmu:
+        v1s = vmats_np.astype(jnp.bfloat16)
+        vrem = vmats_np - v1s.astype(np.float32)
+        v2s = vrem.astype(jnp.bfloat16)
+        v3s = (vrem - v2s.astype(np.float32)).astype(jnp.bfloat16)
+        vm3 = jnp.asarray(np.stack([v1s, v2s, v3s]))
     t = [float(v) for v in taps]
     hpass = _make_hpass(t, r, chunk_w, co=r)
     # Same unit-split as the fast path (see _lane_mode_for): chunk
@@ -1129,7 +1416,12 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
     def kernel(vm_ref, hm_ref,
                amp, amc, amn, alp, alc, aln, arp, arc, arn,
                bmp, bmc, bmn, blp, blc, bln, brp, brc, brn,
-               *out_refs):
+               *rest):
+        vm3_ref = None
+        if vm_intmu:
+            vm3_ref = rest[0]
+            rest = rest[1:]
+        out_refs = rest
         i = pl.program_id(1)
         c = pl.program_id(2)
         vm = vm_ref[0]
@@ -1195,14 +1487,31 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
                 precision=jax.lax.Precision.HIGHEST,
             )
 
+        if vm3_ref is not None:
+            vm3k = vm3_ref[:, 0]
+
+            def vpass_int(x):
+                x1 = x.astype(jnp.bfloat16)
+                acc = None
+                for k in range(3):
+                    d3 = jax.lax.dot_general(
+                        vm3k[k], x1, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT,
+                    )
+                    acc = d3 if acc is None else acc + d3
+                return acc
+        else:
+            vpass_int = vpass
+
         hpass_mu = (
             hpass_heavy
             if _MU_MXU and lane_mode in ("mxu", "mxu3x")
             else hpass
         )
         blurs = (
-            hpass_mu(vpass(af)),
-            hpass_mu(vpass(bf)),
+            hpass_mu(vpass_int(af)),
+            hpass_mu(vpass_int(bf)),
             hpass_heavy(vpass(s * s)),
             hpass_heavy(vpass(d * d)),
         )
@@ -1349,17 +1658,25 @@ def _chunked_overlap_call(a, b, h, w, taps, c1, c2, with_map, interpret, max_til
                          memory_space=pltpu.SMEM)
         )
 
+    extra_ops = ()
+    extra_specs = []
+    if vm_intmu:
+        extra_ops = (vm3,)
+        extra_specs.append(
+            pl.BlockSpec((3, 1, tile_h, band), lambda bi, i, c: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
     outs = pl.pallas_call(
         kernel,
         grid=(batch, nh, nc),
-        in_specs=[vm_spec, hm_spec] + specs + specs,
+        in_specs=[vm_spec, hm_spec] + specs + specs + extra_specs,
         out_shape=tuple(out_shapes),
         out_specs=tuple(out_specs),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
-    )(vmats, hmat, *([a] * 9), *([b] * 9))
+    )(vmats, hmat, *([a] * 9), *([b] * 9), *extra_ops)
 
     if with_map:
         map_padded, tile_sums = outs
@@ -1723,13 +2040,18 @@ def ssim_components_pallas(
 
 
 def pooled_components_ok(shape, dtype, radius: int = RADIUS) -> bool:
-    """Whether ssim_components_pooled_pallas accepts this geometry: u8
-    pairs on the zero-copy fast path (the pooled outputs ride the same
-    tile grid; the chunked wide path has no pooled mode)."""
+    """Whether ssim_components_pooled_pallas accepts this geometry: u8 or
+    f32 pairs on the zero-copy fast path (the pooled outputs ride the
+    same tile grid; the chunked wide path has no pooled mode). f32 since
+    round 5 — the pyramid's scale-1..3 pools fuse too — within the float
+    fast-path VMEM budget."""
     h, w = shape[-2], shape[-1]
+    if dtype not in (jnp.uint8, jnp.float32):
+        return False
+    if dtype == jnp.float32 and 32 * (w + 2 * radius) > _FLOAT_FAST_PATH_BUDGET:
+        return False
     return (
-        dtype == jnp.uint8
-        and h >= 2
+        h >= 2
         and w >= 2
         and 1 <= radius <= MAX_FUSED_RADIUS
         and _round_up(w + 2 * radius, 128) <= TILE_W + COL_OVERLAP
@@ -1762,12 +2084,15 @@ def ssim_components_pooled_pallas(
     gate callers on pooled_components_ok.
 
     Returns (parts (..., K, 2), pooled_a, pooled_b) with the pooled
-    images f32 (..., H//2, W//2), bit-identical to _downsample2 (both
-    are exact f32 arithmetic on u8 data; see the pool_out kernel note).
+    images f32 (..., H//2, W//2). For u8 inputs the pooled images are
+    bit-identical to _downsample2 (exact f32 arithmetic on u8 data; see
+    the pool_out kernel note). f32 inputs (round 5: scale-1..3 pools of
+    the pyramid fuse too) pool via HIGHEST dots — f32-equivalent,
+    ~1 ulp of _downsample2, not bitwise.
     """
-    if not (a.dtype == jnp.uint8 and b.dtype == jnp.uint8):
+    if a.dtype != b.dtype or a.dtype not in (jnp.uint8, jnp.float32):
         raise ValueError(
-            f"pooled components kernel takes uint8 pairs, got "
+            f"pooled components kernel takes uint8 or float32 pairs, got "
             f"{a.dtype}/{b.dtype}"
         )
     squeeze = a.ndim == 2
@@ -1789,7 +2114,7 @@ def ssim_components_pooled_pallas(
             f"{c1 * c2:g} degenerates in f32 (needs >= 9e-32)"
         )
     tile_h = max_tile_h if max_tile_h is not None else _pick_tile_h(
-        h, w, radius=radius
+        h, w, float_input=a.dtype == jnp.float32, radius=radius
     )
     partials, (pool_a, pool_b) = _nopad_overlap_call(
         a, b, h, w, taps, c1, c2, False, interpret, tile_h,
@@ -1818,15 +2143,19 @@ PACK_MAX_W = 192
 
 def pack_preferred(w: int, batch: int, itemsize: int = 1,
                    radius: int = RADIUS) -> bool:
-    """Whether the packed path is measured faster for w-wide batches.
-
-    Uses the width-only auto rule (w % 128 == 0 gets the roll lane mode
-    unpacked and never packs) independent of _LANE_MODE, so the
-    SSIM_TPU_LANE_MODE benchmarking override changes only the hpass
-    strategy, never the auto-routing packing decision."""
-    if pack_count(w, batch, itemsize, radius) < 2:
+    """Whether the (round-5 gutterless) packed path is measured faster
+    for w-wide batches. Every packable width through PACK_MAX_W wins,
+    INCLUDING 128-multiples (which the round-4 gate excluded: the old
+    gutter layout lost to the unpacked roll mode there, but the
+    gutterless per-chunk-matrix kernel measures 9.0 vs 8.2 Gpix/s at
+    128^2 b1024 on v5e). 224^2/256^2 still favor the standard path
+    (9.0/9.1 vs 8.6/9.0 — tools/probe_bpack2.py), so the crossover
+    stays at PACK_MAX_W. Independent of _LANE_MODE, so the
+    benchmarking override changes only the hpass strategy, never the
+    auto-routing packing decision."""
+    if bpack_count(w, batch, itemsize) < 2:
         return False
-    return w <= PACK_MAX_W and w % 128 != 0
+    return w <= PACK_MAX_W
 
 
 def pack_count(w: int, batch: int, itemsize: int = 1,
@@ -1966,3 +2295,166 @@ def ssim_parts_pallas_packed(
     )
     counts = jnp.full((batch, 1), np.float32(h * w), jnp.float32)
     return jnp.concatenate([per_slot[:batch, None], counts], axis=1)
+
+
+#: Lane budget of one gutterless packed row (round-3 measured 4K-lane
+#: sweet spot for packed rows; re-swept for the gutterless layout —
+#: tools/probe_bpack.py).
+BPACK_LANES = 4096
+
+
+def bpack_count(w: int, batch: int, itemsize: int = 1) -> int:
+    """How many w-wide images the GUTTERLESS packed path lays side by
+    side: the row budget divided by the exact image width (no pitch
+    overhead — per-image borders live in the chunk matrices, not in
+    replica gutter lanes). Float inputs use the tighter float VMEM
+    budget, as pack_count does.
+
+    The row is kept on the 128-lane grid when possible: Mosaic's compile
+    helper crashes (silent subprocess exit, no diagnostic) on packed
+    rows with a PARTIAL last chunk once the unrolled chunk count grows
+    — measured on v5e: P=4032 (31.5 chunks) and P=4000 (31.25) crash,
+    while P=4096 (32 full), P=2016 (15.75) and smaller compile fine.
+    So: the largest p <= cap with p*w on the 128 grid; if no such p
+    exists (odd widths), cap the row at 16 chunks, which is inside the
+    measured-safe region."""
+    budget = (_FLOAT_FAST_PATH_BUDGET // 32) if itemsize > 1 else BPACK_LANES
+    cap = max(1, min(batch, budget // w))
+    for p in range(cap, 0, -1):
+        if (p * w) % 128 == 0:
+            return p
+    return max(1, min(cap, max(1, 2048 // w)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("data_range", "interpret", "max_tile_h", "allow_float",
+                     "relaxed", "precise", "radius", "sigma", "k1", "k2"),
+)
+def ssim_parts_pallas_bpacked(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    data_range: float = 255.0,
+    interpret: bool = False,
+    max_tile_h: Optional[int] = None,
+    allow_float: bool = False,
+    relaxed: bool = False,
+    precise: bool = False,
+    radius: int = RADIUS,
+    sigma: float = SIGMA,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> jnp.ndarray:
+    """Gutterless lane-packed batch SSIM for small images (round 5).
+
+    Same contract as ssim_parts_pallas_packed — per-image (B, 2)
+    partials of [(ssim - 1) sum, exact pixel count] — but the packed
+    row carries NO per-image replica gutters and the input relayout is
+    a single power-of-two-granule transpose (no edge-pad HBM pass):
+    per-image clamp-to-edge borders (reference rule,
+    src/ssim.cpp:540-555) are folded into per-128-lane-chunk
+    block-diagonal tap matrices (packed_chunk_matrices), and ALL four
+    horizontal blurs run on the MXU at HIGHEST precision. Measured on
+    v5e this removes the round-4 packed path's two dominant overheads:
+    the 74-byte-granule pad+transpose relayout (~45%% of end-to-end
+    time at 64^2 b4096) and the 2r/(w+2r) gutter-lane waste.
+
+    relaxed=True switches the heavy squared-signal blurs to the 3-pass
+    bf16-split tier (mu blurs stay exact), the packed analogue of the
+    mxu3x mode.
+
+    precise=True (round 5, VERDICT r4 #4) packs the df32 tier: the
+    kernel's compensated formula emits per-lane compensated column sums
+    (hi + lo planes), the per-image lane segment sums reduce pairwise in
+    df32 on device, and the partials become (B, 3) [hi, lo, count] —
+    engine.finalize_mean f64-sums them unchanged. Unlike the unpacked
+    precise path (bit-exact VPU f32 blurs), the packed blurs run on the
+    MXU at HIGHEST precision (f32-equivalent, not bit-equal; measured
+    accuracy vs the f64 oracle recorded in docs/RESULTS.md — within the
+    precise tier's contract of beating the reference double build).
+    """
+    float_ok = (
+        allow_float and a.dtype == jnp.float32 and b.dtype == jnp.float32
+    )
+    if not float_ok and (a.dtype != jnp.uint8 or b.dtype != jnp.uint8):
+        raise ValueError(
+            "packed path takes uint8 (or float32 with allow_float=True); "
+            "use ssim_parts_pallas"
+        )
+    if a.ndim != 3:
+        raise ValueError(f"packed path needs a (B, H, W) batch, got {a.shape}")
+    if a.shape[-2] * a.shape[-1] >= 1 << 24:
+        raise ValueError(
+            f"packed path needs h*w < 2^24 for an exact f32 count, got "
+            f"{a.shape[-2]}x{a.shape[-1]}"
+        )
+    if data_range < 1e-6:
+        raise ValueError(f"data_range {data_range} too small (must be >= 1e-6)")
+    batch, h, w = a.shape
+    if not 1 <= radius <= MAX_FUSED_RADIUS:
+        raise ValueError(
+            f"the packed path serves radius 1..{MAX_FUSED_RADIUS}; got "
+            f"{radius}"
+        )
+    if precise and relaxed:
+        raise ValueError(
+            "relaxed (loose bf16-split blurs) contradicts precise "
+            "(compensated double-float) — pick one accuracy tier"
+        )
+    p = bpack_count(w, batch, itemsize=4 if float_ok else 1)
+    bp = -(-batch // p)
+    pad_n = bp * p - batch
+
+    def pack(x):
+        if pad_n:
+            x = jnp.pad(x, ((0, pad_n), (0, 0), (0, 0)))
+        return (
+            x.reshape(bp, p, h, w)
+            .transpose(0, 2, 1, 3)
+            .reshape(bp, h, p * w)
+        )
+
+    taps = gaussian_taps(np.float32, radius, sigma)
+    c1 = float((k1 * data_range) ** 2)
+    c2 = float((k2 * data_range) ** 2)
+    if c1 * c2 < 9e-32:
+        raise ValueError(
+            f"k1/k2 too small for data_range {data_range}: c1*c2 = "
+            f"{c1 * c2:g} degenerates in f32 (needs >= 9e-32)"
+        )
+    clip_bound = max(131072.0, 4.0 * float(data_range))
+    tile_h = max_tile_h if max_tile_h is not None else _pick_tile_h(
+        h, p * w, precise=precise, float_input=float_ok
+    )
+    colsums, _ = _nopad_overlap_call(
+        pack(a), pack(b), h, p * w, taps, c1, c2,
+        False, interpret, tile_h, colsum=True, clip_bound=clip_bound,
+        relaxed=relaxed, precise=precise, pchunk=w,
+    )
+    counts = jnp.full((batch, 1), np.float32(h * w), jnp.float32)
+    if precise:
+        # Per-image lane segment sums, compensated: pairwise df32 tree
+        # over the w lanes of each image slot.
+        hi = colsums[:, 0].reshape(bp, p, w)
+        lo = colsums[:, 1].reshape(bp, p, w)
+        n = w
+        m = 1 << (n - 1).bit_length()
+        if m != n:
+            hi = jnp.pad(hi, ((0, 0), (0, 0), (0, m - n)))
+            lo = jnp.pad(lo, ((0, 0), (0, 0), (0, m - n)))
+        x = (hi, lo)
+        while m > 1:
+            m //= 2
+            x = _df_add(
+                (x[0][..., :m], x[1][..., :m]), (x[0][..., m:], x[1][..., m:])
+            )
+        per_hi = x[0][..., 0].reshape(-1)[:batch]
+        per_lo = x[1][..., 0].reshape(-1)[:batch]
+        return jnp.concatenate(
+            [per_hi[:, None], per_lo[:, None], counts], axis=1
+        )
+    # Per-image segment sums are an exact reshape — no gutter slicing;
+    # batch-padding slots (identical zero pairs, SSIM == 1 bitwise) drop.
+    per_image = colsums.reshape(bp, p, w).sum(axis=-1).reshape(-1)[:batch]
+    return jnp.concatenate([per_image[:, None], counts], axis=1)
